@@ -1,0 +1,165 @@
+#!/usr/bin/env python
+r"""Kolmogorov zero-shot assimilation — the notebook scenario catalog.
+
+TPU-native counterpart of the reference's notebook experiments
+(``experiments/kolmogorov/figures.ipynb`` cells 4-43, ``figures_bis.ipynb``
+cells 5-10 — SURVEY.md §2 C39): each scenario defines an observation
+operator ``A``, builds the guided sampler over the full trajectory, samples,
+and checks the posterior-consistency residual ``std(A(x) - y) ~ std``.
+
+Scenarios (reference cell in parentheses):
+- ``coarse``:      8x-coarsened observations every 4th frame (cells 9-10)
+- ``subsample``:   every k-th pixel of one frame burst (cells 30-39)
+- ``patch``:       a centered spatial patch of a 3-frame stride (cell 16)
+- ``saturation``:  nonlinear vorticity saturation w/(1+|w|) (cell 23)
+- ``loop``:        loop closure A(x) = x[0] - x[-1], y = 0 (cell 43)
+- ``vorticity``:   masked vorticity conditioning (cell 4)
+"""
+
+import argparse
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from utils import PATH, load_score, make_trajectory_eps
+
+from sda_tpu.diffusion import GaussianScore, VPSDE
+from sda_tpu.dynamics import coarsen, vorticity
+from sda_tpu.train import load_h5
+
+
+def get_scenario(name: str, x_star, rng):
+    r"""Returns ``(A, y, std, length, gamma)`` for a named scenario.
+
+    ``x_star`` is a reference trajectory ``(L, 2, 64, 64)`` in model space.
+    """
+
+    if name == 'coarse':
+        length = min(32, x_star.shape[0])
+        std = 0.1
+        A = lambda x: coarsen(x[..., ::4, :, :, :], 8)
+        y = A(x_star[:length]) + std * rng.standard_normal(
+            A(x_star[:length]).shape
+        ).astype(np.float32)
+        return A, jnp.asarray(y), std, length, 1e-2
+
+    if name == 'subsample':
+        length = 8
+        std = 0.05
+        A = lambda x: x[..., ::8, ::8]
+        y = A(x_star[:length]) + std * rng.standard_normal(
+            A(x_star[:length]).shape
+        ).astype(np.float32)
+        return A, jnp.asarray(y), std, length, 1e-2
+
+    if name == 'patch':
+        length = 16
+        std = 0.05
+        A = lambda x: x[..., ::3, :, 24:40, 24:40]
+        y = A(x_star[:length]) + std * rng.standard_normal(
+            A(x_star[:length]).shape
+        ).astype(np.float32)
+        return A, jnp.asarray(y), std, length, 1e-2
+
+    if name == 'saturation':
+        length = 8
+        std = 0.05
+
+        def A(x):
+            w = vorticity(x)
+            return w / (1 + jnp.abs(w))
+
+        y = np.asarray(A(jnp.asarray(x_star[:length])))
+        y = y + std * rng.standard_normal(y.shape).astype(np.float32)
+        return A, jnp.asarray(y), std, length, 1e-2
+
+    if name == 'loop':
+        length = 32
+        std = 1e-2
+        A = lambda x: x[..., 0, :, :, :] - x[..., -1, :, :, :]
+        y = jnp.zeros((2, 64, 64))
+        return A, y, std, length, 1e-1
+
+    if name == 'vorticity':
+        length = 8
+        std = 0.1
+
+        def A(x):
+            return vorticity(x)
+
+        y = np.asarray(A(jnp.asarray(x_star[:length])))
+        y = y + std * rng.standard_normal(y.shape).astype(np.float32)
+        return A, jnp.asarray(y), std, length, 1e-2
+
+    raise ValueError(f'unknown scenario {name}')
+
+
+def assimilate(
+    run: str,
+    scenario: str,
+    samples: int = 4,
+    steps: int = 256,
+    corrections: int = 1,
+    tau: float = 0.5,
+    seed: int = 0,
+    render: bool = True,
+):
+    rng = np.random.RandomState(seed)
+
+    x_test = load_h5(PATH / 'data/test.h5')
+    x_star = x_test[seed % len(x_test)]  # (64, 2, 64, 64)
+
+    A, y, std, length, gamma = get_scenario(scenario, x_star, rng)
+
+    module, params, config = load_score(PATH / f'runs/{run}')
+    score = make_trajectory_eps(module, params, config.get('window', 5))
+
+    sde = VPSDE(
+        eps=GaussianScore(
+            y=y, A=A, std=std,
+            sde=VPSDE(eps=score, shape=()),
+            gamma=gamma,
+        ),
+        shape=(length, 2, 64, 64),
+    )
+
+    key = jax.random.key(seed)
+    xs = sde.sample(key, (samples,), steps=steps, corrections=corrections, tau=tau)
+
+    # Posterior-consistency check (reference figures.ipynb cells 11/18/25).
+    residual = float(jnp.std(A(xs) - y))
+    print(f'{scenario}: residual std = {residual:.4f} (obs std = {std})')
+
+    if render:
+        from utils import draw
+
+        w = np.asarray(vorticity(xs[:, :: max(length // 8, 1)]))
+        out = PATH / f'results/{scenario}_{run}.png'
+        out.parent.mkdir(parents=True, exist_ok=True)
+        draw(w).save(out)
+        print(f'rendered {out}')
+
+    return residual, std
+
+
+if __name__ == '__main__':
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument('--run', type=str, default='unet_0')
+    parser.add_argument(
+        '--scenario',
+        default='coarse',
+        choices=['coarse', 'subsample', 'patch', 'saturation', 'loop', 'vorticity'],
+    )
+    parser.add_argument('--samples', type=int, default=4)
+    parser.add_argument('--steps', type=int, default=256)
+    parser.add_argument('--corrections', type=int, default=1)
+    parser.add_argument('--tau', type=float, default=0.5)
+    parser.add_argument('--seed', type=int, default=0)
+    args = parser.parse_args()
+
+    assimilate(
+        args.run, args.scenario, args.samples,
+        args.steps, args.corrections, args.tau, args.seed,
+    )

@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+r"""Physics validation of the pseudo-spectral Kolmogorov solver.
+
+Statistical checks replacing bitwise jax-cfd comparison (SURVEY.md §7 "hard
+parts" #1 — different discretizations must be validated distributionally):
+
+1. statistically stationary energy after spin-up (forcing injection balances
+   drag + viscous dissipation);
+2. energy spectrum with a developed inertial range: E(k) peaked near the
+   forcing wavenumber (k=4), decaying by orders of magnitude toward the
+   dealiasing cutoff (no spectral pile-up = no blow-up);
+3. velocity magnitudes in the O(1) range that the reference's CFL settings
+   assume (max_velocity 5 at sda/mcs.py:276);
+4. enstrophy/energy ratio consistent with 2-D turbulence.
+
+Writes a JSON report and optional spectrum/vorticity figures.
+"""
+
+import argparse
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from utils import PATH, make_chain
+
+
+def energy_spectrum(chain, x):
+    r"""Isotropic energy spectrum E(k) of velocity fields ``(..., 2, H, W)``.
+
+    Uses the solver's real-pair DFT engine (works on TPU runtimes without
+    complex/FFT support)."""
+
+    ur, ui = chain.dft.rfft2(x[..., 0, :, :])
+    vr, vi = chain.dft.rfft2(x[..., 1, :, :])
+
+    # Half-spectrum: double the interior columns' weight.
+    weight = jnp.where(
+        (chain.kb[0] == 0) | (chain.kb[0] == chain.size // 2), 1.0, 2.0
+    )
+    density = 0.5 * (ur**2 + ui**2 + vr**2 + vi**2)
+    density = density * weight / float(chain.size) ** 4  # avoid int32 overflow
+
+    k = np.sqrt(np.asarray(chain.k2))
+    bins = np.arange(0.5, chain.size // 2)
+    spectrum = np.zeros(len(bins) - 1)
+
+    flat_k = k.ravel()
+    flat_d = np.asarray(density).reshape(-1, flat_k.size).mean(axis=0)
+
+    for i in range(len(bins) - 1):
+        m = (flat_k >= bins[i]) & (flat_k < bins[i + 1])
+        spectrum[i] = flat_d[m].sum()
+
+    return 0.5 * (bins[:-1] + bins[1:]), spectrum
+
+
+def main(size: int = 256, spinup: int = 64, window: int = 64, ensemble: int = 4):
+    chain = make_chain(size=size)
+    key = jax.random.key(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+
+    x = chain.prior(k1, (ensemble,))
+    x = chain.trajectory(k2, x, length=spinup, last=True)
+    xs = chain.trajectory(k3, x, length=window)  # (window, ensemble, 2, H, W)
+
+    energy = np.asarray(0.5 * jnp.mean(xs**2, axis=(-3, -2, -1)))  # (window, ens)
+    speed = np.asarray(jnp.sqrt(jnp.sum(xs**2, axis=-3)))
+
+    centers, spectrum = energy_spectrum(chain, xs[-1])
+    peak_k = float(centers[np.argmax(spectrum)])
+
+    half = window // 2
+    report = {
+        'size': size,
+        'substeps_per_dt': chain.steps,
+        'mean_energy_first_half': float(energy[:half].mean()),
+        'mean_energy_second_half': float(energy[half:].mean()),
+        'energy_cv_over_time': float(energy.mean(axis=1).std() / energy.mean()),
+        'max_speed': float(speed.max()),
+        'spectrum_peak_k': peak_k,
+        'spectrum_decay_orders': float(
+            np.log10(spectrum[centers < 8].max() / max(spectrum[-8:].mean(), 1e-30))
+        ),
+        'finite': bool(np.all(np.isfinite(np.asarray(xs)))),
+    }
+
+    out = PATH / 'results/solver_validation.json'
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text(json.dumps(report, indent=2))
+    print(json.dumps(report, indent=2))
+
+    try:
+        import matplotlib
+
+        matplotlib.use('Agg')
+        import matplotlib.pyplot as plt
+
+        fig, axes = plt.subplots(1, 2, figsize=(10, 4))
+        axes[0].loglog(centers, spectrum)
+        axes[0].axvline(4, ls='--', c='grey')
+        axes[0].set(xlabel='k', ylabel='E(k)', title='energy spectrum')
+        axes[1].plot(energy.mean(axis=1))
+        axes[1].set(xlabel='step', ylabel='energy', title='energy history')
+        fig.tight_layout()
+        fig.savefig(PATH / 'results/solver_validation.png', dpi=120)
+
+        from utils import vorticity2rgb
+        from sda_tpu.dynamics import vorticity
+        from PIL import Image
+
+        w = np.asarray(vorticity(xs[-1, 0]))
+        scale = float(np.abs(w).max())
+        Image.fromarray(
+            vorticity2rgb(w, vmin=-scale, vmax=scale)
+        ).save(PATH / 'results/vorticity_sample.png')
+    except Exception as err:
+        print(f'figures skipped: {err}')
+
+    return report
+
+
+if __name__ == '__main__':
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument('--size', type=int, default=256)
+    parser.add_argument('--spinup', type=int, default=64)
+    parser.add_argument('--window', type=int, default=64)
+    parser.add_argument('--ensemble', type=int, default=4)
+    args = parser.parse_args()
+
+    main(args.size, args.spinup, args.window, args.ensemble)

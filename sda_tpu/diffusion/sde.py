@@ -1,0 +1,241 @@
+r"""Variance-preserving SDEs: noise schedules, perturbation kernel, denoising
+loss, and a **fused** predictor–corrector sampler.
+
+TPU-native re-design of the reference diffusion engine
+(``sda/score.py:167-300``). The key structural difference: the reference runs
+its reverse-diffusion loop at Python level with one kernel launch per network
+evaluation (``sda/score.py:249-261``); here the *entire* sampler — predictor
+step, Langevin corrections, and any likelihood-guidance gradient — is a single
+``jax.lax.scan`` program compiled once by XLA, so the whole posterior sampling
+loop runs on-device without host round-trips.
+
+Conventions:
+- an *eps function* has signature ``eps(x, t, c=None) -> Array`` — a noise
+  estimator :math:`\epsilon_\phi(x(t), t)`;
+- randomness is explicit: every stochastic method takes a PRNG ``key``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+EpsFn = Callable[..., Array]
+
+
+def make_alpha(alpha: str, eta: float) -> Callable[[Array], Array]:
+    r"""Builds the :math:`\alpha(t)` schedule (reference ``sda/score.py:195-202``).
+
+    - ``'lin'``: :math:`1 - (1 - \eta) t`
+    - ``'cos'``: :math:`\cos(\arccos(\sqrt{\eta}) t)^2` (default)
+    - ``'exp'``: :math:`\exp(\ln(\eta) t^2)`
+    """
+
+    if alpha == 'lin':
+        return lambda t: 1 - (1 - eta) * t
+    elif alpha == 'cos':
+        a = math.acos(math.sqrt(eta))
+        return lambda t: jnp.cos(a * t) ** 2
+    elif alpha == 'exp':
+        b = math.log(eta)
+        return lambda t: jnp.exp(b * t**2)
+    else:
+        raise ValueError(f"unknown alpha schedule '{alpha}'")
+
+
+class VPSDE:
+    r"""Variance-preserving SDE.
+
+    .. math::
+        \mu(t) = \alpha(t), \qquad
+        \sigma(t)^2 = 1 - \alpha(t)^2 + \eta^2
+
+    Parity with reference ``sda/score.py:167-276``.
+
+    Arguments:
+        eps: An optional bound noise estimator :math:`\epsilon_\phi(x, t, c)`.
+            Methods also accept an explicit ``eps`` override, so a schedule-only
+            instance (``eps=None``) is valid.
+        shape: The event shape.
+        alpha: The choice of :math:`\alpha(t)` (``'lin'``, ``'cos'``, ``'exp'``).
+        eta: A numerical stability term.
+    """
+
+    def __init__(
+        self,
+        eps: Optional[EpsFn] = None,
+        shape: Sequence[int] = (),
+        alpha: str = 'cos',
+        eta: float = 1e-3,
+    ):
+        self.eps = eps
+        self.shape = tuple(shape)
+        self.dims = tuple(range(-len(self.shape), 0))
+        self.eta = eta
+        self.alpha = make_alpha(alpha, eta)
+
+    # -- Schedule ----------------------------------------------------------
+
+    def mu(self, t: Array) -> Array:
+        return self.alpha(t)
+
+    def sigma(self, t: Array) -> Array:
+        return jnp.sqrt(1 - self.alpha(t) ** 2 + self.eta**2)
+
+    # -- Forward process ---------------------------------------------------
+
+    def perturb(
+        self,
+        key: Array,
+        x: Array,
+        t: Array,
+        train: bool = False,
+    ) -> Union[Array, Tuple[Array, Array]]:
+        r"""Samples from the perturbation kernel :math:`p(x(t) | x)`.
+
+        Parity with reference ``sda/score.py:212-223``: ``t`` broadcasts over
+        the event axes; returns ``(x(t), eps)`` when ``train=True``.
+        """
+
+        t = jnp.asarray(t)
+        t = t.reshape(t.shape + (1,) * len(self.shape))
+
+        eps = jax.random.normal(key, x.shape, dtype=x.dtype)
+        xt = self.mu(t) * x + self.sigma(t) * eps
+
+        if train:
+            return xt, eps
+        else:
+            return xt
+
+    # -- Denoising loss ----------------------------------------------------
+
+    def loss(
+        self,
+        key: Array,
+        x: Array,
+        c: Optional[Array] = None,
+        w: Optional[Array] = None,
+        eps: Optional[EpsFn] = None,
+    ) -> Array:
+        r"""Denoising score-matching loss (reference ``sda/score.py:265-276``).
+
+        ``t ~ U(0, 1)`` per leading-batch element; returns
+        ``mean((eps_hat - eps)^2)``, optionally importance-weighted by ``w``.
+        """
+
+        eps_fn = self.eps if eps is None else eps
+
+        key_t, key_eps = jax.random.split(key)
+        t = jax.random.uniform(key_t, (x.shape[0],), dtype=x.dtype)
+
+        xt, target = self.perturb(key_eps, x, t, train=True)
+        err = (eps_fn(xt, t, c) - target) ** 2
+
+        if w is None:
+            return jnp.mean(err)
+        else:
+            return jnp.mean(err * w) / jnp.mean(w)
+
+    # -- Fused reverse-diffusion sampler -----------------------------------
+
+    def sample(
+        self,
+        key: Array,
+        shape: Sequence[int] = (),
+        c: Optional[Array] = None,
+        steps: int = 64,
+        corrections: int = 0,
+        tau: float = 1.0,
+        eps: Optional[EpsFn] = None,
+    ) -> Array:
+        r"""Samples from :math:`p(x(0))` with a predictor–corrector loop.
+
+        Numerics match reference ``sda/score.py:225-263``:
+
+        - predictor (DDIM-style exponential step):
+          ``x <- r x + (sigma(t-dt) - r sigma(t)) eps(x, t, c)`` with
+          ``r = mu(t-dt)/mu(t)`` over a uniform time grid ``1 -> 0``;
+        - corrector (``corrections`` Langevin steps at ``t-dt``):
+          ``x <- x - (delta eps + sqrt(2 delta) z) sigma(t-dt)`` with adaptive
+          ``delta = tau / mean(eps^2)`` over the event axes.
+
+        Unlike the reference's Python loop, the full loop (including the
+        guidance VJP when ``eps`` wraps a :class:`GaussianScore`) is one
+        ``lax.scan`` — a single XLA program on device.
+
+        Arguments:
+            key: A PRNG key.
+            shape: The batch shape.
+            c: The optional context.
+            steps: The number of discrete time steps.
+            corrections: The number of Langevin corrections per time step.
+            tau: The amplitude of Langevin steps.
+            eps: Optional override of the bound noise estimator.
+        """
+
+        eps_fn = self.eps if eps is None else eps
+        shape = tuple(shape)
+
+        key_init, key_scan = jax.random.split(key)
+
+        x = jax.random.normal(key_init, shape + self.shape)
+        x = x.reshape((-1,) + self.shape)
+
+        dt = 1.0 / steps
+        time = jnp.linspace(1.0, 0.0, steps + 1)[:-1]
+
+        def corrector(_, carry):
+            x, key, t = carry
+            key, kz = jax.random.split(key)
+
+            z = jax.random.normal(kz, x.shape, dtype=x.dtype)
+            e = eps_fn(x, t - dt, c)
+            delta = tau / jnp.mean(e**2, axis=self.dims, keepdims=True)
+
+            x = x - (delta * e + jnp.sqrt(2 * delta) * z) * self.sigma(t - dt)
+
+            return (x, key, t)
+
+        def step(carry, t):
+            x, key = carry
+
+            # Predictor
+            r = self.mu(t - dt) / self.mu(t)
+            x = r * x + (self.sigma(t - dt) - r * self.sigma(t)) * eps_fn(x, t, c)
+
+            # Corrector
+            if corrections > 0:
+                x, key, _ = jax.lax.fori_loop(
+                    0, corrections, corrector, (x, key, t)
+                )
+
+            return (x, key), None
+
+        (x, _), _ = jax.lax.scan(step, (x, key_scan), time)
+
+        return x.reshape(shape + self.shape)
+
+
+class SubVPSDE(VPSDE):
+    r"""Sub-variance-preserving SDE: :math:`\sigma(t) = 1 - \alpha(t)^2 + \eta`.
+
+    Parity with reference ``sda/score.py:279-288``.
+    """
+
+    def sigma(self, t: Array) -> Array:
+        return 1 - self.alpha(t) ** 2 + self.eta
+
+
+class SubSubVPSDE(VPSDE):
+    r"""Sub-sub-VP SDE: :math:`\sigma(t) = 1 - \alpha(t) + \eta`.
+
+    Parity with reference ``sda/score.py:291-300``.
+    """
+
+    def sigma(self, t: Array) -> Array:
+        return 1 - self.alpha(t) + self.eta

@@ -1,0 +1,118 @@
+r"""Windowed Markov-blanket score decomposition — the SDA algorithm core.
+
+TPU-native re-design of reference ``sda/score.py:96-164``. A kernel trained on
+windows of ``2k+1`` states scores trajectories of *any* length ``L`` by
+evaluating all ``L - 2k`` sliding windows in one batched call and recombining:
+the first window contributes its leading ``k`` rows, every window its center
+row, and the last window its trailing ``k`` rows.
+
+``unfold``/``fold`` are pure jnp functions (static Python loop over the small
+window size — fully unrolled under ``jit``); :class:`MCScoreNet` composes any
+window-kernel eps function into a full-trajectory eps function, and
+:class:`MCScoreWrapper` reuses a spatial score network with time-as-space for
+the "global" baseline.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+EpsFn = Callable[..., Array]
+
+
+def unfold(x: Array, order: int) -> Array:
+    r"""Extracts all sliding windows of size ``2*order + 1`` along axis 1 and
+    merges each window into the channel axis.
+
+    ``(B, L, C, *spatial) -> (B, L - 2*order, (2*order + 1) * C, *spatial)``
+
+    with frame-major channel order (frame 0's channels first), matching
+    reference ``sda/score.py:146-153``.
+    """
+
+    k = 2 * order + 1
+    length = x.shape[1] - k + 1
+
+    windows = jnp.stack(
+        [jax.lax.slice_in_dim(x, i, i + length, axis=1) for i in range(k)],
+        axis=2,
+    )  # (B, L', k, C, *spatial)
+
+    return windows.reshape(
+        windows.shape[:2] + (k * x.shape[2],) + windows.shape[4:]
+    )
+
+
+def fold(x: Array, order: int) -> Array:
+    r"""Reassembles a length-``L`` sequence from window scores.
+
+    Inverse recombination of :func:`unfold` (reference ``sda/score.py:155-164``):
+    first window's leading ``order`` frames + every window's center frame +
+    last window's trailing ``order`` frames.
+
+    ``(B, L', (2*order + 1) * C, *spatial) -> (B, L' + 2*order, C, *spatial)``
+    """
+
+    k = 2 * order + 1
+    x = x.reshape(x.shape[:2] + (k, x.shape[2] // k) + x.shape[3:])
+
+    return jnp.concatenate(
+        (
+            x[:, 0, :order],
+            x[:, :, order],
+            x[:, -1, k - order:],
+        ),
+        axis=1,
+    )
+
+
+class MCScoreNet:
+    r"""Composes a window-kernel eps function into a trajectory eps function.
+
+    The counterpart of reference ``sda/score.py:113-144``, expressed as a
+    function transform: given ``kernel(x, t, c)`` operating on events of shape
+    ``((2*order + 1) * C, *spatial)``, the composed callable scores full
+    ``(B, L, C, *spatial)`` trajectories. Composes into
+    :meth:`VPSDE.sample` and :class:`GaussianScore` unchanged — the unfolded
+    batch of windows is one large MXU-friendly network evaluation, and
+    ``jax.grad`` flows through unfold/kernel/fold for guided sampling.
+
+    Arguments:
+        kernel: The window eps function.
+        order: The Markov order ``k`` (window size is ``2k + 1``).
+    """
+
+    def __init__(self, kernel: EpsFn, order: int):
+        self.kernel = kernel
+        self.order = order
+
+    def __call__(self, x: Array, t: Array, c: Optional[Array] = None) -> Array:
+        x = unfold(x, self.order)
+        s = self.kernel(x, t, c)
+        s = fold(s, self.order)
+
+        return s
+
+
+class MCScoreWrapper:
+    r"""Disguises a spatial score network as a Markov-chain score network by
+    treating time as an extra spatial axis.
+
+    ``(B, L, C, *spatial)`` is transposed to ``(B, C, L, *spatial)`` around the
+    wrapped network (reference ``sda/score.py:96-110``) — e.g. a 1-D
+    ``ScoreUNet`` over channels ``C`` with the trajectory length as its
+    spatial extent ("global" baseline).
+    """
+
+    def __init__(self, score: EpsFn):
+        self.score = score
+
+    def __call__(self, x: Array, t: Array, c: Optional[Array] = None) -> Array:
+        y = jnp.swapaxes(x, 1, 2)
+        y = self.score(y, t, c)
+
+        return jnp.swapaxes(y, 1, 2)

@@ -1,0 +1,134 @@
+r"""Multi-device tests on the virtual 8-device CPU mesh (SURVEY.md §4c)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from sda_tpu.diffusion import MCScoreNet, ScoreNet, VPSDE, bind_eps
+from sda_tpu.parallel import (
+    ShardedMCScoreNet,
+    batch_constraint,
+    make_mesh,
+    replicate,
+    shard_batch,
+)
+from sda_tpu.train import TrajectoryDataset, Trainer
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_make_mesh_default_dp():
+    mesh = make_mesh()
+    assert mesh.axis_names == ('dp',)
+    assert mesh.devices.size == 8
+
+
+def test_make_mesh_2d():
+    mesh = make_mesh({'dp': 4, 'tp': -1})
+    assert mesh.axis_names == ('dp', 'tp')
+    assert mesh.shape['dp'] == 4
+    assert mesh.shape['tp'] == 2
+
+
+def test_shard_batch_layout():
+    mesh = make_mesh()
+    x = jnp.arange(16.0).reshape(16, 1)
+
+    xs = shard_batch(x, mesh)
+
+    assert xs.sharding.spec == P('dp', None)
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(x))
+
+
+def test_dp_training_matches_single_device():
+    r"""A data-parallel trainer over the 8-device mesh must produce the same
+    losses as the single-device trainer (same keys, same data)."""
+
+    data = np.random.RandomState(0).randn(64, 12, 2).astype(np.float32)
+
+    def build(mesh):
+        trainset = TrajectoryDataset(data, window=3, flatten=True)
+        validset = TrajectoryDataset(data[:16], window=3, flatten=True)
+        module = ScoreNet(features=6, embedding=8, hidden_features=(16,))
+        sde = VPSDE(shape=(6,))
+        params = module.init(
+            jax.random.key(0), jnp.zeros((1, 6)), jnp.ones((1,))
+        )['params']
+        return Trainer(
+            sde, module, params, trainset, validset,
+            epochs=3, batch_size=16, key=jax.random.key(7), mesh=mesh,
+        )
+
+    single = build(None)
+    sharded = build(make_mesh())
+
+    for _ in range(3):
+        s0 = single.step_epoch()
+        s1 = sharded.step_epoch()
+        np.testing.assert_allclose(
+            s0['loss_train'], s1['loss_train'], rtol=2e-4
+        )
+
+
+@pytest.mark.parametrize('order', [1, 2])
+def test_sharded_mc_score_matches_unsharded(order):
+    r"""Sequence-parallel windowed scoring with halo exchange must equal the
+    single-device MCScoreNet exactly (the kernel is per-window independent)."""
+
+    mesh = make_mesh({'sp': 8})
+    channels = 2
+    length = 8 * (2 * order + 1)  # chunks hold at least one full window
+
+    def kernel(xw, t, c=None):
+        # A nonlinear per-window kernel with cross-channel mixing.
+        return jnp.tanh(xw) + 0.1 * jnp.roll(xw, 1, axis=2) * t
+
+    reference = MCScoreNet(kernel, order=order)
+    sharded = ShardedMCScoreNet(kernel, order=order, mesh=mesh)
+
+    x = jax.random.normal(jax.random.key(0), (3, length, channels))
+    t = jnp.asarray(0.7)
+
+    np.testing.assert_allclose(
+        np.asarray(reference(x, t)),
+        np.asarray(sharded(x, t)),
+        atol=1e-6,
+    )
+
+
+def test_sharded_mc_score_under_jit():
+    mesh = make_mesh({'sp': 8})
+    kernel = lambda xw, t, c=None: xw * (1 + t)
+    sharded = ShardedMCScoreNet(kernel, order=1, mesh=mesh)
+
+    x = jax.random.normal(jax.random.key(1), (2, 24, 3))
+    out = jax.jit(lambda x, t: sharded(x, t))(x, jnp.asarray(0.5))
+
+    reference = MCScoreNet(kernel, order=1)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(reference(x, jnp.asarray(0.5))), atol=1e-6
+    )
+
+
+def test_sharded_sampler():
+    r"""The fused sampler runs with its batch sharded over the mesh."""
+
+    mesh = make_mesh()
+    sde = VPSDE(shape=(4,))
+
+    def eps_star(x, t, c=None):
+        mu, sigma = sde.mu(t), sde.sigma(t)
+        return sigma * x / (mu**2 + sigma**2)
+
+    @jax.jit
+    def run(key):
+        x = sde.sample(key, shape=(64,), steps=16, eps=eps_star)
+        return batch_constraint(x, mesh)
+
+    out = run(jax.random.key(0))
+    assert out.shape == (64, 4)
+    assert np.all(np.isfinite(np.asarray(out)))
