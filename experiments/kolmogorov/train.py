@@ -46,10 +46,12 @@ CONFIG = {
 }
 
 
-def train(seed: int, epochs: int = None, use_mesh: bool = False):
+def train(seed: int, epochs: int = None, use_mesh: bool = False, bf16: bool = False):
     config = dict(CONFIG)
     if epochs is not None:
         config['epochs'] = epochs
+    if bf16:
+        config['bf16'] = True
 
     runpath = PATH / f'runs/unet_{seed}'
     runpath.mkdir(parents=True, exist_ok=True)
@@ -104,6 +106,7 @@ if __name__ == '__main__':
     parser.add_argument('--seed', type=int, default=0)
     parser.add_argument('--epochs', type=int, default=None)
     parser.add_argument('--mesh', action='store_true')
+    parser.add_argument('--bf16', action='store_true', help='bf16 network compute (params stay f32)')
     args = parser.parse_args()
 
-    train(args.seed, args.epochs, args.mesh)
+    train(args.seed, args.epochs, args.mesh, args.bf16)

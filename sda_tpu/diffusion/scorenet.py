@@ -43,10 +43,11 @@ class ScoreNet(nn.Module):
     embedding: int = 16
     hidden_features: Sequence[int] = (64, 64)
     activation: Callable[[Array], Array] = jax.nn.relu
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array, t: Array, c: Optional[Array] = None) -> Array:
-        t = TimeEmbedding(self.embedding)(jnp.asarray(t))
+        t = TimeEmbedding(self.embedding, dtype=self.dtype)(jnp.asarray(t))
 
         if c is None:
             x, t = broadcast(x, t, ignore=1)
@@ -55,11 +56,14 @@ class ScoreNet(nn.Module):
             x, t, c = broadcast(x, t, c, ignore=1)
             h = jnp.concatenate((x, t, c), axis=-1)
 
-        return ResMLP(
+        out = ResMLP(
             out_features=self.features,
             hidden_features=self.hidden_features,
             activation=self.activation,
+            dtype=self.dtype,
         )(h)
+
+        return out.astype(x.dtype)
 
 
 class ScoreUNet(nn.Module):
@@ -88,6 +92,7 @@ class ScoreUNet(nn.Module):
     activation: Callable[[Array], Array] = jax.nn.relu
     spatial: int = 2
     circular: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array, t: Array, c: Optional[Array] = None) -> Array:
@@ -104,7 +109,7 @@ class ScoreUNet(nn.Module):
         # Flatten leading batch axes; broadcast t over them.
         y = y.reshape((-1,) + y.shape[-dims:])
         t = jnp.broadcast_to(jnp.asarray(t), batch).reshape(-1)
-        t = TimeEmbedding(self.embedding)(t)
+        t = TimeEmbedding(self.embedding, dtype=self.dtype)(t)
 
         # Channel-first -> channels-last for the TPU conv stack.
         y = jnp.moveaxis(y, 1, -1)
@@ -118,11 +123,12 @@ class ScoreUNet(nn.Module):
             activation=self.activation,
             spatial=self.spatial,
             circular=self.circular,
+            dtype=self.dtype,
         )(y, t)
 
         y = jnp.moveaxis(y, -1, 1)
 
-        return y.reshape(x.shape)
+        return y.reshape(x.shape).astype(x.dtype)
 
 
 class LocalScoreUNet(nn.Module):
@@ -147,6 +153,7 @@ class LocalScoreUNet(nn.Module):
     stride: Union[int, Sequence[int]] = 2
     activation: Callable[[Array], Array] = jax.nn.relu
     circular: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array, t: Array, c: Optional[Array] = None) -> Array:
@@ -164,6 +171,7 @@ class LocalScoreUNet(nn.Module):
             activation=self.activation,
             spatial=2,
             circular=self.circular,
+            dtype=self.dtype,
         )(x, t, forcing)
 
 

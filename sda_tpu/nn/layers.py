@@ -14,7 +14,7 @@ under `jax.jit`, vmappable and shardable with `pjit`.
 from __future__ import annotations
 
 import math
-from typing import Callable, Sequence
+from typing import Any, Callable, Sequence
 
 import flax.linen as nn
 import jax
@@ -27,13 +27,17 @@ def layer_norm(x: Array, axis: int = -1, eps: float = 1e-5) -> Array:
     r"""Standardizes ``x`` along ``axis`` with **no** learnable affine terms.
 
     Equivalent to ``zuko.nn.LayerNorm`` (zuko 0.1.4) used by the reference at
-    ``sda/nn.py:61,137,163``: ``(x - mean) / sqrt(var + eps)``.
+    ``sda/nn.py:61,137,163``: ``(x - mean) / sqrt(var + eps)``. Statistics
+    are computed in float32 regardless of the input dtype (bf16-safe).
     """
 
-    mean = jnp.mean(x, axis=axis, keepdims=True)
-    var = jnp.var(x, axis=axis, keepdims=True)
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
 
-    return (x - mean) * jax.lax.rsqrt(var + eps)
+    mean = jnp.mean(x32, axis=axis, keepdims=True)
+    var = jnp.var(x32, axis=axis, keepdims=True)
+
+    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(dtype)
 
 
 class TimeEmbedding(nn.Module):
@@ -47,17 +51,19 @@ class TimeEmbedding(nn.Module):
     """
 
     features: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, t: Array) -> Array:
-        freqs = math.pi * jnp.arange(1, 17, dtype=t.dtype)
+        # Frequencies in float32: bf16 cos/sin of pi*k*t loses phase accuracy.
+        freqs = math.pi * jnp.arange(1, 17, dtype=jnp.float32)
 
-        t = freqs * t[..., None]
+        t = freqs * t[..., None].astype(jnp.float32)
         t = jnp.concatenate((jnp.cos(t), jnp.sin(t)), axis=-1)
 
-        t = nn.Dense(256)(t)
+        t = nn.Dense(256, dtype=self.dtype)(t)
         t = jax.nn.silu(t)
-        t = nn.Dense(self.features)(t)
+        t = nn.Dense(self.features, dtype=self.dtype)(t)
 
         return t
 
@@ -80,6 +86,7 @@ class ResMLP(nn.Module):
     out_features: int
     hidden_features: Sequence[int] = (64, 64)
     activation: Callable[[Array], Array] = jax.nn.relu
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -88,12 +95,12 @@ class ResMLP(nn.Module):
 
         for after in widths:
             if after != before:
-                x = nn.Dense(after)(x)
+                x = nn.Dense(after, dtype=self.dtype)(x)
 
             h = layer_norm(x)
-            h = nn.Dense(after)(h)
+            h = nn.Dense(after, dtype=self.dtype)(h)
             h = self.activation(h)
-            h = nn.Dense(after)(h)
+            h = nn.Dense(after, dtype=self.dtype)(h)
             x = x + h
 
             before = after

@@ -17,7 +17,7 @@ the boundary (see ``sda_tpu.diffusion.scorenet.ScoreUNet``).
 
 from __future__ import annotations
 
-from typing import Callable, Sequence, Union
+from typing import Any, Callable, Sequence, Union
 
 import flax.linen as nn
 import jax
@@ -40,20 +40,21 @@ class ModResidualBlock(nn.Module):
     kernel_size: Sequence[int]
     activation: Callable[[Array], Array]
     padding: str
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array, y: Array) -> Array:
         spatial = len(self.kernel_size)
 
         # Project the modulation vector and broadcast it over space.
-        y = nn.Dense(self.channels)(y)
+        y = nn.Dense(self.channels, dtype=self.dtype)(y)
         y = y.reshape(y.shape[:-1] + (1,) * spatial + (self.channels,))
 
         h = x + y
         h = layer_norm(h, axis=-1)
-        h = nn.Conv(self.channels, self.kernel_size, padding=self.padding)(h)
+        h = nn.Conv(self.channels, self.kernel_size, padding=self.padding, dtype=self.dtype)(h)
         h = self.activation(h)
-        h = nn.Conv(self.channels, self.kernel_size, padding=self.padding)(h)
+        h = nn.Conv(self.channels, self.kernel_size, padding=self.padding, dtype=self.dtype)(h)
 
         return x + h
 
@@ -80,6 +81,7 @@ class UNet(nn.Module):
     activation: Callable[[Array], Array] = jax.nn.relu
     spatial: int = 2
     circular: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array, y: Array) -> Array:
@@ -108,6 +110,7 @@ class UNet(nn.Module):
                 kernel_size=kernel,
                 activation=self.activation,
                 padding=padding,
+                dtype=self.dtype,
             )(h, y)
 
         def upsample_nearest(h: Array) -> Array:
@@ -120,11 +123,14 @@ class UNet(nn.Module):
 
         for i, blocks in enumerate(self.hidden_blocks):
             if i == 0:
-                x = nn.Conv(self.hidden_channels[i], kernel, padding=padding)(x)
+                x = nn.Conv(
+                    self.hidden_channels[i], kernel,
+                    padding=padding, dtype=self.dtype,
+                )(x)
             else:
                 x = nn.Conv(
                     self.hidden_channels[i], kernel,
-                    strides=stride, padding=padding,
+                    strides=stride, padding=padding, dtype=self.dtype,
                 )(x)
 
             for _ in range(blocks):
@@ -142,9 +148,12 @@ class UNet(nn.Module):
             if i > 0:
                 x = layer_norm(x, axis=-1)
                 x = upsample_nearest(x)
-                x = nn.Conv(self.hidden_channels[i - 1], kernel, padding=padding)(x)
+                x = nn.Conv(
+                    self.hidden_channels[i - 1], kernel,
+                    padding=padding, dtype=self.dtype,
+                )(x)
                 x = x + memory.pop()
             else:
-                x = nn.Conv(self.out_channels, kernel, padding=padding)(x)
+                x = nn.Conv(self.out_channels, kernel, padding=padding, dtype=self.dtype)(x)
 
         return x

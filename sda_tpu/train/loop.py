@@ -133,7 +133,10 @@ class Trainer:
         optimizer = self.optimizer
         mesh = self.mesh
 
-        def run_epoch(params, opt_state, key):
+        # NOTE: the data arrays are explicit *arguments*, not closure
+        # captures — captured arrays would be baked into the program as
+        # multi-GB HLO constants (which also breaks remote-compile services).
+        def run_epoch(params, opt_state, key, train_data, valid_data):
             k_perm, k_train, k_vperm, k_valid = jax.random.split(key, 4)
 
             # Train pass
@@ -145,7 +148,7 @@ class Trainer:
                 rows, k = inp
                 k_crop, k_loss = jax.random.split(k)
 
-                x = trainset.crop(k_crop, trainset.data[rows])
+                x = trainset.crop(k_crop, train_data[rows])
                 if mesh is not None:
                     x = batch_constraint(x, mesh)
 
@@ -170,7 +173,7 @@ class Trainer:
                 rows, k = inp
                 k_crop, k_loss = jax.random.split(k)
 
-                x = validset.crop(k_crop, validset.data[rows])
+                x = validset.crop(k_crop, valid_data[rows])
                 if mesh is not None:
                     x = batch_constraint(x, mesh)
 
@@ -196,7 +199,8 @@ class Trainer:
 
         self.key, sub = jax.random.split(self.key)
         self.params, self.opt_state, lt, lv = self._epoch_fn(
-            self.params, self.opt_state, sub
+            self.params, self.opt_state, sub,
+            self.trainset.data, self.validset.data,
         )
 
         self.epoch += 1
