@@ -105,6 +105,8 @@ def assimilate(
     tau: float = 0.5,
     seed: int = 0,
     render: bool = True,
+    chunk: int = None,
+    remat: bool = False,
 ):
     rng = np.random.RandomState(seed)
 
@@ -114,13 +116,16 @@ def assimilate(
     A, y, std, length, gamma = get_scenario(scenario, x_star, rng)
 
     module, params, config = load_score(PATH / f'runs/{run}')
-    score = make_trajectory_eps(module, params, config.get('window', 5))
+    score = make_trajectory_eps(
+        module, params, config.get('window', 5), chunk=chunk
+    )
 
     sde = VPSDE(
         eps=GaussianScore(
             y=y, A=A, std=std,
             sde=VPSDE(eps=score, shape=()),
             gamma=gamma,
+            remat=remat,
         ),
         shape=(length, 2, 64, 64),
     )
@@ -157,9 +162,14 @@ if __name__ == '__main__':
     parser.add_argument('--corrections', type=int, default=1)
     parser.add_argument('--tau', type=float, default=0.5)
     parser.add_argument('--seed', type=int, default=0)
+    parser.add_argument('--chunk', type=int, default=None,
+                        help='evaluate score windows in sequential chunks (HBM lever)')
+    parser.add_argument('--remat', action='store_true',
+                        help='rematerialize the score net inside the guidance VJP')
     args = parser.parse_args()
 
     assimilate(
         args.run, args.scenario, args.samples,
         args.steps, args.corrections, args.tau, args.seed,
+        chunk=args.chunk, remat=args.remat,
     )

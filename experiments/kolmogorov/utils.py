@@ -46,6 +46,7 @@ def make_score(
     kernel_size: int = 3,
     activation: str = 'SiLU',
     size: int = 64,
+    bf16: bool = False,
     **absorb,
 ) -> LocalScoreUNet:
     r"""The forcing-conditioned window kernel (reference
@@ -61,6 +62,7 @@ def make_score(
         kernel_size=kernel_size,
         activation=ACTIVATIONS[activation],
         circular=True,
+        dtype=jnp.bfloat16 if bf16 else None,
     )
 
 
@@ -87,11 +89,14 @@ def load_score(runpath: Path, **kwargs):
     return module, params, config
 
 
-def make_trajectory_eps(module, params, window: int = 5) -> Callable:
+def make_trajectory_eps(
+    module, params, window: int = 5, chunk: Optional[int] = None
+) -> Callable:
     r"""Composes the trained window kernel into a full-trajectory eps
-    function via the Markov-blanket decomposition."""
+    function via the Markov-blanket decomposition. ``chunk`` enables the
+    memory-optimal sequential window evaluation for long trajectories."""
 
-    return MCScoreNet(bind_eps(module, params), order=window // 2)
+    return MCScoreNet(bind_eps(module, params), order=window // 2, chunk=chunk)
 
 
 # -- Visualization (host-side, parity with reference utils.py:84-200) -------

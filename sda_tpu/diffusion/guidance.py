@@ -46,6 +46,10 @@ class GaussianScore:
         sde: The prior SDE (supplies ``mu``, ``sigma`` and the prior ``eps``).
         gamma: The variance-inflation coefficient.
         detach: If True, cut the second-order path through the eps network.
+        remat: If True, rematerialize the eps network in the guidance VJP
+            (``jax.checkpoint``) — trades one extra forward pass for not
+            storing the network's activations, the HBM lever for large
+            trajectory shapes (e.g. 127 x 2 x 256 x 256).
     """
 
     def __init__(
@@ -56,6 +60,7 @@ class GaussianScore:
         sde: VPSDE,
         gamma: Union[float, Array] = 1e-2,
         detach: bool = False,
+        remat: bool = False,
     ):
         self.y = jnp.asarray(y)
         self.std = jnp.asarray(std)
@@ -63,13 +68,18 @@ class GaussianScore:
         self.A = A
         self.sde = sde
         self.detach = detach
+        self.remat = remat
 
     def __call__(self, x: Array, t: Array, c: Optional[Array] = None) -> Array:
         mu, sigma = self.sde.mu(t), self.sde.sigma(t)
         var = self.std**2 + self.gamma * (sigma / mu) ** 2
 
+        eps_fn = self.sde.eps
+        if self.remat:
+            eps_fn = jax.checkpoint(eps_fn, static_argnums=())
+
         if self.detach:
-            eps0 = self.sde.eps(x, t, c)
+            eps0 = eps_fn(x, t, c)
 
             def log_prob(x_in: Array):
                 x_hat = (x_in - sigma * eps0) / mu
@@ -79,7 +89,7 @@ class GaussianScore:
         else:
 
             def log_prob(x_in: Array):
-                e = self.sde.eps(x_in, t, c)
+                e = eps_fn(x_in, t, c)
                 x_hat = (x_in - sigma * e) / mu
                 err = self.y - self.A(x_hat)
                 return -0.5 * jnp.sum(err**2 / var), e

@@ -84,18 +84,59 @@ class MCScoreNet:
     Arguments:
         kernel: The window eps function.
         order: The Markov order ``k`` (window size is ``2k + 1``).
+        chunk: Optional window-chunk size. When set, windows are evaluated in
+            sequential chunks via ``lax.map`` (memory-optimal long-trajectory
+            mode: peak activation memory scales with ``chunk`` instead of
+            ``L``, trading wall-clock for HBM — the scaling lever for
+            127-frame 256^2 trajectories, SURVEY.md §5).
     """
 
-    def __init__(self, kernel: EpsFn, order: int):
+    def __init__(self, kernel: EpsFn, order: int, chunk: Optional[int] = None):
         self.kernel = kernel
         self.order = order
+        self.chunk = chunk
 
     def __call__(self, x: Array, t: Array, c: Optional[Array] = None) -> Array:
         x = unfold(x, self.order)
-        s = self.kernel(x, t, c)
+
+        if self.chunk is None:
+            s = self.kernel(x, t, c)
+        else:
+            s = self._chunked_kernel(x, t, c)
+
         s = fold(s, self.order)
 
         return s
+
+    def _chunked_kernel(self, x: Array, t: Array, c: Optional[Array]) -> Array:
+        r"""Evaluates the kernel over the window axis in sequential chunks.
+
+        Windows are padded up to a multiple of ``chunk`` (the pad windows'
+        outputs are discarded), reshaped to ``(num_chunks, B, chunk, ...)``
+        and scanned with ``lax.map``.
+        """
+
+        batch, n_windows = x.shape[:2]
+        chunk = min(self.chunk, n_windows)
+        pad = (-n_windows) % chunk
+
+        if pad:
+            x = jnp.concatenate(
+                (x, jnp.repeat(x[:, -1:], pad, axis=1)), axis=1
+            )
+
+        num_chunks = x.shape[1] // chunk
+
+        x = x.reshape((batch, num_chunks, chunk) + x.shape[2:])
+        x = jnp.moveaxis(x, 1, 0)  # (num_chunks, B, chunk, ...)
+
+        s = jax.lax.map(lambda xc: self.kernel(xc, t, c), x)
+
+        s = jnp.moveaxis(s, 0, 1).reshape(
+            (batch, num_chunks * chunk) + s.shape[3:]
+        )
+
+        return s[:, :n_windows]
 
 
 class MCScoreWrapper:

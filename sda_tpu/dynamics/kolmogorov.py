@@ -77,24 +77,22 @@ class KolmogorovFlow(MarkovChain):
         self.dt = dt
         self.nu = 1.0 / reynolds
         self.drag = drag
-        self.dft = RealDFT2(size, size, method=dft_method)
 
-        # Integer wavenumbers on the 2 pi-periodic domain. Axis -2 ("a") uses
-        # the full spectrum, axis -1 ("b") the real-transform half spectrum.
-        ka = jnp.fft.fftfreq(size, d=1.0 / size)
-        kb = jnp.fft.rfftfreq(size, d=1.0 / size)
-        self.ka = ka[:, None]
-        self.kb = kb[None, :]
+        # Truncated spectral representation: carry only the modes the 2/3
+        # rule retains (|k| <= size/3). Dealiasing of the quadratic advection
+        # term is then exact by construction, and every DFT basis matmul
+        # shrinks to ~45% of the full-spectrum FLOPs.
+        modes = int(size / 3.0) + 1
+        self.dft = RealDFT2(
+            size, size, method=dft_method, h_modes=modes, w_modes=modes
+        )
+
+        self.ka = self.dft.freqs_h[:, None]
+        self.kb = self.dft.freqs_w[None, :]
         self.k2 = self.ka**2 + self.kb**2
         self.inv_k2 = jnp.where(
             self.k2 > 0, 1.0 / jnp.where(self.k2 > 0, self.k2, 1.0), 0.0
         )
-
-        # 2/3-rule dealiasing mask for the quadratic advection term.
-        cutoff = size / 3.0
-        self.dealias = (
-            (jnp.abs(self.ka) < cutoff) & (jnp.abs(self.kb) < cutoff)
-        ).astype(jnp.float32)
 
         # Curl of the forcing sin(k b) x_a-hat: -k cos(k b) (constant field).
         b = 2 * math.pi / size * (jnp.arange(size) + 0.5)
@@ -194,12 +192,10 @@ class KolmogorovFlow(MarkovChain):
         wa = self.dft.irfft2(-self.ka * wi, self.ka * wr)
         wb = self.dft.irfft2(-self.kb * wi, self.kb * wr)
 
+        # The truncated forward transform IS the 2/3-rule dealiasing.
         ar, ai = self.dft.rfft2(u * wa + v * wb)
 
-        return (
-            -ar * self.dealias + self.forcing_re,
-            -ai * self.dealias + self.forcing_im,
-        )
+        return (-ar + self.forcing_re, -ai + self.forcing_im)
 
     def substep(self, w: Spectral) -> Spectral:
         r"""One CFL substep: integrating-factor classical RK3 (Kutta).

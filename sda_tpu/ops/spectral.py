@@ -36,39 +36,77 @@ def default_dft_method() -> str:
 
 
 class RealDFT2:
-    r"""Forward/inverse real 2-D DFT over the last two axes.
+    r"""Forward/inverse real 2-D DFT over the last two axes, with optional
+    **mode truncation**.
 
     Arguments:
         height, width: The grid size.
         method: ``'matmul'`` (MXU basis matmuls, no complex dtype),
             ``'fft'`` (XLA FFT custom call), or ``'auto'``.
+        h_modes: Retained non-negative frequencies along axis -2 (``None`` =
+            all). The kept spectrum rows are frequencies ``0..h_modes-1`` and
+            ``-(h_modes-1)..-1`` (``2*h_modes - 1`` rows total).
+        w_modes: Retained frequencies along the real (last) axis (``None`` =
+            the full half spectrum ``W//2 + 1``).
 
-    ``rfft2`` maps real ``(..., H, W)`` to a pair ``(re, im)`` of shape
-    ``(..., H, W//2 + 1)``; ``irfft2`` inverts it.
+    Untruncated, ``rfft2`` maps real ``(..., H, W)`` to a pair ``(re, im)``
+    of shape ``(..., H, W//2 + 1)`` matching ``numpy.fft.rfft2``; truncated,
+    the spectral shape is ``(..., 2*h_modes - 1, w_modes)`` and the inverse
+    treats dropped modes as zero. For a pseudo-spectral solver, choosing the
+    2/3-rule cutoffs makes dealiasing exact *by construction* while cutting
+    every basis matmul's FLOPs roughly in half.
     """
 
-    def __init__(self, height: int, width: int, method: str = 'auto'):
+    def __init__(
+        self,
+        height: int,
+        width: int,
+        method: str = 'auto',
+        h_modes: int = None,
+        w_modes: int = None,
+    ):
         self.height = height
         self.width = width
         self.method = default_dft_method() if method == 'auto' else method
 
-        if self.method == 'matmul':
-            wf = width // 2 + 1
+        full_h = h_modes is None
+        full_w = w_modes is None
 
+        if h_modes is None:
+            # All rows, in standard FFT order.
+            freqs_h = np.fft.fftfreq(height, d=1.0 / height)
+        else:
+            freqs_h = np.concatenate(
+                [np.arange(0, h_modes), np.arange(-(h_modes - 1), 0)]
+            )
+
+        if w_modes is None:
+            w_modes = width // 2 + 1
+        freqs_w = np.arange(w_modes)
+
+        self.freqs_h = jnp.asarray(freqs_h, jnp.float32)
+        self.freqs_w = jnp.asarray(freqs_w, jnp.float32)
+        self.spectral_shape = (len(freqs_h), w_modes)
+
+        # The FFT backend only supports the untruncated layout.
+        if self.method == 'fft' and not (full_h and full_w):
+            self.method = 'matmul'
+
+        if self.method in ('matmul', 'pallas'):
             # Forward bases (numpy convention e^{-2 pi i k n / N}).
-            fw = np.arange(wf)[:, None] * np.arange(width)[None, :]
+            fw = freqs_w[:, None] * np.arange(width)[None, :]
             self.cos_w = jnp.asarray(np.cos(2 * np.pi * fw / width), jnp.float32)
             self.sin_w = jnp.asarray(np.sin(2 * np.pi * fw / width), jnp.float32)
 
-            ah = np.arange(height)[:, None] * np.arange(height)[None, :]
+            ah = freqs_h[:, None] * np.arange(height)[None, :]
             self.cos_h = jnp.asarray(np.cos(2 * np.pi * ah / height), jnp.float32)
             self.sin_h = jnp.asarray(np.sin(2 * np.pi * ah / height), jnp.float32)
 
             # Hermitian weights for the inverse along the half axis: interior
             # columns count twice (their conjugates are implicit).
-            dw = np.full(wf, 2.0)
+            dw = np.full(w_modes, 2.0)
             dw[0] = 1.0
-            if width % 2 == 0:
+            if full_w and width % 2 == 0:
                 dw[-1] = 1.0
             self.weight_w = jnp.asarray(dw, jnp.float32)
 
@@ -78,6 +116,11 @@ class RealDFT2:
         if self.method == 'fft':
             out = jnp.fft.rfft2(x)
             return jnp.real(out), jnp.imag(out)
+
+        if self.method == 'pallas':
+            from .pallas_dft import pallas_rfft2
+
+            return pallas_rfft2(x, self)
 
         hp = jax.lax.Precision.HIGHEST
 
@@ -104,6 +147,11 @@ class RealDFT2:
             return jnp.fft.irfft2(
                 jax.lax.complex(re, im), s=(self.height, self.width)
             )
+
+        if self.method == 'pallas':
+            from .pallas_dft import pallas_irfft2
+
+            return pallas_irfft2(re, im, self)
 
         hp = jax.lax.Precision.HIGHEST
 

@@ -120,6 +120,26 @@ def test_gaussian_score_detach_mode():
     assert np.all(np.isfinite(np.asarray(out)))
 
 
+def test_gaussian_score_remat_matches():
+    r"""Rematerialized guidance must be numerically identical (it only
+    changes what is stored vs recomputed in the VJP)."""
+
+    inner = make_standard_normal_sde(3)
+    common = dict(
+        y=jnp.asarray([0.7]), A=lambda x: x[..., :1], std=0.2, sde=inner
+    )
+
+    plain = GaussianScore(**common)
+    remat = GaussianScore(**common, remat=True)
+
+    x = jax.random.normal(jax.random.key(11), (4, 3))
+    t = jnp.asarray(0.4)
+
+    np.testing.assert_allclose(
+        np.asarray(plain(x, t)), np.asarray(remat(x, t)), atol=1e-6
+    )
+
+
 def test_dps_score_finite_and_shaped():
     inner = make_standard_normal_sde(3)
 

@@ -99,6 +99,41 @@ def test_mc_score_wrapper_transposes():
     np.testing.assert_allclose(np.asarray(out), np.asarray(2 * x), atol=1e-6)
 
 
+@pytest.mark.parametrize('chunk', [1, 3, 8, 64])
+def test_chunked_mc_score_matches_unchunked(chunk):
+    r"""Sequential chunked window evaluation (memory-optimal mode) must be
+    numerically identical to the single batched evaluation."""
+
+    order = 2
+
+    def kernel(xw, t, c=None):
+        return jnp.tanh(xw) * (1 + t) + 0.5
+
+    full = MCScoreNet(kernel, order=order)
+    chunked = MCScoreNet(kernel, order=order, chunk=chunk)
+
+    x = jax.random.normal(jax.random.key(5), (2, 17, 3))
+    t = jnp.asarray(0.4)
+
+    np.testing.assert_allclose(
+        np.asarray(full(x, t)), np.asarray(chunked(x, t)), atol=1e-6
+    )
+
+
+def test_chunked_mc_score_jit_and_grad():
+    kernel = lambda xw, t, c=None: jnp.sin(xw)
+    net = MCScoreNet(kernel, order=1, chunk=4)
+
+    def loss(x):
+        return jnp.sum(net(x, jnp.asarray(0.5)) ** 2)
+
+    x = jax.random.normal(jax.random.key(6), (1, 11, 2))
+    g = jax.jit(jax.grad(loss))(x)
+
+    assert g.shape == x.shape
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
 def test_unfold_gradient_flows():
     r"""Guided sampling differentiates through unfold/kernel/fold."""
 
