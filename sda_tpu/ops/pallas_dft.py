@@ -15,6 +15,12 @@ outside the hot loop).
 
 The kernels tile the batch axis; basis matrices are replicated into VMEM
 once per tile. All matmuls request float32 accumulation explicitly.
+
+Measured on TPU v5e (256^2, batch 8, full NS step): the fused kernel runs at
+~0.8x the speed of the plain XLA einsum path — XLA's own dot pipelining
+already hides the stage-1 HBM round-trip at these sizes, so the matmul path
+remains the default (``RealDFT2(method='matmul')``). The kernel is kept as
+an optimization surface for larger grids / multi-field fusion.
 """
 
 from __future__ import annotations

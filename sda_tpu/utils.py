@@ -66,6 +66,36 @@ def enable_compilation_cache(path: str = '/tmp/sda_tpu_jax_cache') -> None:
         pass
 
 
+class profile_trace:
+    r"""Context manager around ``jax.profiler`` tracing (the reference has no
+    profiling at all — SURVEY.md §5). Produces a TensorBoard-compatible trace
+    directory; failures (unsupported runtime) are non-fatal.
+
+    >>> with profile_trace('/tmp/trace'):
+    ...     step(...)
+    """
+
+    def __init__(self, path: str):
+        self.path = str(path)
+        self.active = False
+
+    def __enter__(self):
+        try:
+            jax.profiler.start_trace(self.path)
+            self.active = True
+        except Exception:
+            self.active = False
+        return self
+
+    def __exit__(self, *exc):
+        if self.active:
+            try:
+                jax.profiler.stop_trace()
+            except Exception:
+                pass
+        return False
+
+
 def random_config(configs: Dict[str, Sequence[Any]], seed: int = None) -> Dict[str, Any]:
     r"""Uniformly samples one value per key (random hyper-parameter search).
 
