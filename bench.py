@@ -27,7 +27,7 @@ def main():
 
     enable_compilation_cache()
 
-    size, length, batch = 256, 128, 8
+    size, length, batch = 256, 128, 16
 
     chain = KolmogorovFlow(size=size, dt=0.2)
 

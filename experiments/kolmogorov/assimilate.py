@@ -25,7 +25,7 @@ import numpy as np
 
 from utils import PATH, load_score, make_trajectory_eps
 
-from sda_tpu.diffusion import GaussianScore, VPSDE
+from sda_tpu.diffusion import DPSGaussianScore, GaussianScore, VPSDE
 from sda_tpu.dynamics import coarsen, vorticity
 from sda_tpu.train import load_h5
 
@@ -107,6 +107,7 @@ def assimilate(
     render: bool = True,
     chunk: int = None,
     remat: bool = False,
+    method: str = 'sda',
 ):
     rng = np.random.RandomState(seed)
 
@@ -120,28 +121,37 @@ def assimilate(
         module, params, config.get('window', 5), chunk=chunk
     )
 
-    sde = VPSDE(
-        eps=GaussianScore(
+    if method == 'sda':
+        guided = GaussianScore(
             y=y, A=A, std=std,
             sde=VPSDE(eps=score, shape=()),
             gamma=gamma,
             remat=remat,
-        ),
-        shape=(length, 2, 64, 64),
-    )
+        )
+    elif method == 'dps':
+        # DPS baseline (Chung et al. 2022), reference sda/score.py:303-344;
+        # compared against SDA guidance in figures_bis.ipynb.
+        guided = DPSGaussianScore(
+            y=y, A=A, sde=VPSDE(eps=score, shape=()), zeta=1.0
+        )
+    else:
+        raise ValueError(f'unknown guidance method {method}')
+
+    sde = VPSDE(eps=guided, shape=(length, 2, 64, 64))
 
     key = jax.random.key(seed)
     xs = sde.sample(key, (samples,), steps=steps, corrections=corrections, tau=tau)
 
     # Posterior-consistency check (reference figures.ipynb cells 11/18/25).
     residual = float(jnp.std(A(xs) - y))
-    print(f'{scenario}: residual std = {residual:.4f} (obs std = {std})')
+    print(f'{scenario}[{method}]: residual std = {residual:.4f} (obs std = {std})')
 
     if render:
         from utils import draw
 
         w = np.asarray(vorticity(xs[:, :: max(length // 8, 1)]))
-        out = PATH / f'results/{scenario}_{run}.png'
+        suffix = '' if method == 'sda' else f'_{method}'
+        out = PATH / f'results/{scenario}_{run}{suffix}.png'
         out.parent.mkdir(parents=True, exist_ok=True)
         draw(w).save(out)
         print(f'rendered {out}')
@@ -166,10 +176,12 @@ if __name__ == '__main__':
                         help='evaluate score windows in sequential chunks (HBM lever)')
     parser.add_argument('--remat', action='store_true',
                         help='rematerialize the score net inside the guidance VJP')
+    parser.add_argument('--method', choices=['sda', 'dps'], default='sda',
+                        help='guidance: SDA variance-inflated or DPS baseline')
     args = parser.parse_args()
 
     assimilate(
         args.run, args.scenario, args.samples,
         args.steps, args.corrections, args.tau, args.seed,
-        chunk=args.chunk, remat=args.remat,
+        chunk=args.chunk, remat=args.remat, method=args.method,
     )

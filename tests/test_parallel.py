@@ -114,6 +114,39 @@ def test_sharded_mc_score_under_jit():
     )
 
 
+def test_sequence_parallel_guided_sampling_end_to_end():
+    r"""The full flagship composition under sequence parallelism: a guided
+    sampler whose score is a ShardedMCScoreNet (window axis over 8 devices)
+    must match the single-device MCScoreNet sampler exactly."""
+
+    from sda_tpu.diffusion import GaussianScore
+
+    mesh = make_mesh({'sp': 8})
+    order, channels, length = 1, 2, 24
+
+    def kernel(xw, t, c=None):
+        return jnp.tanh(xw) * (0.5 + t)
+
+    y = jnp.ones((length // 4, channels)) * 0.3
+    A = lambda x: x[..., ::4, :]
+
+    def build(score):
+        return VPSDE(
+            eps=GaussianScore(
+                y=y, A=A, std=0.1, sde=VPSDE(eps=score, shape=()), gamma=1e-2
+            ),
+            shape=(length, channels),
+        )
+
+    single = build(MCScoreNet(kernel, order=order))
+    sharded = build(ShardedMCScoreNet(kernel, order=order, mesh=mesh))
+
+    x1 = single.sample(jax.random.key(3), (2,), steps=8, corrections=1, tau=0.5)
+    x2 = sharded.sample(jax.random.key(3), (2,), steps=8, corrections=1, tau=0.5)
+
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), atol=1e-4)
+
+
 def test_sharded_sampler():
     r"""The fused sampler runs with its batch sharded over the mesh."""
 
