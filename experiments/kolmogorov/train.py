@@ -22,6 +22,7 @@ from sda_tpu.train import (
     RunLogger,
     TrajectoryDataset,
     Trainer,
+    restore_checkpoint,
     save_checkpoint,
     save_params,
 )
@@ -46,7 +47,7 @@ CONFIG = {
 }
 
 
-def train(seed: int, epochs: int = None, use_mesh: bool = False, bf16: bool = False):
+def train(seed: int, epochs: int = None, use_mesh: bool = False, bf16: bool = False, resume: bool = False):
     config = dict(CONFIG)
     if epochs is not None:
         config['epochs'] = epochs
@@ -55,7 +56,8 @@ def train(seed: int, epochs: int = None, use_mesh: bool = False, bf16: bool = Fa
 
     runpath = PATH / f'runs/unet_{seed}'
     runpath.mkdir(parents=True, exist_ok=True)
-    save_config(config, runpath)
+    if not (runpath / 'config.json').exists():
+        save_config(config, runpath)
 
     logger = RunLogger(runpath)
     key = jax.random.key(seed)
@@ -76,11 +78,17 @@ def train(seed: int, epochs: int = None, use_mesh: bool = False, bf16: bool = Fa
         **config,
     )
 
+    # Resume from the latest mid-run checkpoint (idempotent re-runs).
+    ckpt = runpath / 'checkpoint.msgpack'
+    if resume and ckpt.exists():
+        restore_checkpoint(trainer, ckpt)
+        print(f'resumed at epoch {trainer.epoch}')
+
     for stats in trainer:
         logger.log(stats, step=trainer.epoch)
 
         if trainer.epoch % 64 == 0:
-            save_checkpoint(trainer, runpath / 'checkpoint.msgpack')
+            save_checkpoint(trainer, ckpt)
 
     save_params(trainer.params, runpath / 'state.msgpack')
 
@@ -107,6 +115,7 @@ if __name__ == '__main__':
     parser.add_argument('--epochs', type=int, default=None)
     parser.add_argument('--mesh', action='store_true')
     parser.add_argument('--bf16', action='store_true', help='bf16 network compute (params stay f32)')
+    parser.add_argument('--resume', action='store_true', help='continue from the latest checkpoint')
     args = parser.parse_args()
 
-    train(args.seed, args.epochs, args.mesh, args.bf16)
+    train(args.seed, args.epochs, args.mesh, args.bf16, args.resume)

@@ -30,6 +30,7 @@ from sda_tpu.train import (
     RunLogger,
     TrajectoryDataset,
     Trainer,
+    restore_checkpoint,
     save_checkpoint,
     save_params,
 )
@@ -68,14 +69,15 @@ LOCAL_CONFIG = {
 }
 
 
-def train(model: str, seed: int, epochs: int = None, use_mesh: bool = False):
+def train(model: str, seed: int, epochs: int = None, use_mesh: bool = False, resume: bool = False):
     config = dict(GLOBAL_CONFIG if model == 'global' else LOCAL_CONFIG)
     if epochs is not None:
         config['epochs'] = epochs
 
     runpath = PATH / f'runs/{model}_{seed}'
     runpath.mkdir(parents=True, exist_ok=True)
-    save_config(config, runpath)
+    if not (runpath / 'config.json').exists():
+        save_config(config, runpath)
 
     logger = RunLogger(runpath)
     key = jax.random.key(seed)
@@ -109,11 +111,18 @@ def train(model: str, seed: int, epochs: int = None, use_mesh: bool = False):
         **config,
     )
 
+    # Resume from the latest mid-run checkpoint (idempotent re-runs — the
+    # analog of the reference's Slurm @ensure pattern, SURVEY.md C31/C33).
+    ckpt = runpath / 'checkpoint.msgpack'
+    if resume and ckpt.exists():
+        restore_checkpoint(trainer, ckpt)
+        print(f'resumed at epoch {trainer.epoch}')
+
     for stats in trainer:
         logger.log(stats, step=trainer.epoch)
 
         if trainer.epoch % 256 == 0:
-            save_checkpoint(trainer, runpath / 'checkpoint.msgpack')
+            save_checkpoint(trainer, ckpt)
 
     # Save final weights (reference format analog)
     save_params(trainer.params, runpath / 'state.msgpack')
@@ -144,6 +153,7 @@ if __name__ == '__main__':
     parser.add_argument('--seed', type=int, default=0)
     parser.add_argument('--epochs', type=int, default=None)
     parser.add_argument('--mesh', action='store_true', help='shard batches over all devices')
+    parser.add_argument('--resume', action='store_true', help='continue from the latest checkpoint')
     args = parser.parse_args()
 
-    train(args.model, args.seed, args.epochs, args.mesh)
+    train(args.model, args.seed, args.epochs, args.mesh, args.resume)
