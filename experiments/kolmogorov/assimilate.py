@@ -76,7 +76,10 @@ def get_scenario(name: str, x_star, rng):
         return A, jnp.asarray(y), std, length, 1e-2
 
     if name == 'loop':
-        length = 32
+        # Reference scale (figures.ipynb cell 43): a CLOSED loop of 127
+        # frames — generative trajectory length is arbitrary at inference,
+        # well beyond the 64-frame training data.
+        length = 127
         std = 1e-2
         A = lambda x: x[..., 0, :, :, :] - x[..., -1, :, :, :]
         y = jnp.zeros((2, 64, 64))
