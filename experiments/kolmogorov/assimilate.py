@@ -9,8 +9,13 @@ and checks the posterior-consistency residual ``std(A(x) - y) ~ std``.
 
 Scenarios (reference cell in parentheses):
 - ``coarse``:      8x-coarsened observations every 4th frame (cells 9-10)
-- ``subsample``:   every k-th pixel of one frame burst (cells 30-39)
-- ``patch``:       a centered spatial patch of a 3-frame stride (cell 16)
+- ``subsample``:   every k-th pixel of an 8-frame burst, ``--stride``
+                   2/4/8/16 and ``--offset`` (cells 30-39; offset 7::16 is
+                   figures_bis.ipynb cells 9-10)
+- ``extrapolate``: coarsen 4x THEN an 8x8 patch of the 16x16 coarse grid,
+                   every 3rd frame — conditions only on a sub-region, the
+                   rest is extrapolated (cell 16, figures_bis.ipynb cell 5)
+- ``patch``:       a centered full-resolution spatial patch, 3-frame stride
 - ``saturation``:  nonlinear vorticity saturation w/(1+|w|) (cell 23)
 - ``loop``:        loop closure A(x) = x[0] - x[-1], y = 0 (cell 43)
 - ``vorticity``:   masked vorticity conditioning (cell 4)
@@ -30,7 +35,7 @@ from sda_tpu.dynamics import coarsen, vorticity
 from sda_tpu.train import load_h5
 
 
-def get_scenario(name: str, x_star, rng):
+def get_scenario(name: str, x_star, rng, stride: int = 8, offset: int = 0):
     r"""Returns ``(A, y, std, length, gamma)`` for a named scenario.
 
     ``x_star`` is a reference trajectory ``(L, 2, 64, 64)`` in model space.
@@ -46,9 +51,23 @@ def get_scenario(name: str, x_star, rng):
         return A, jnp.asarray(y), std, length, 1e-2
 
     if name == 'subsample':
+        # Reference figures.ipynb cells 30-41 (strides 2/4/8/16, std 0.1)
+        # and figures_bis.ipynb cells 9-10 (offset grid 7::16).
         length = 8
-        std = 0.05
-        A = lambda x: x[..., ::8, ::8]
+        std = 0.1
+        A = lambda x: x[..., offset::stride, offset::stride]
+        y = A(x_star[:length]) + std * rng.standard_normal(
+            A(x_star[:length]).shape
+        ).astype(np.float32)
+        return A, jnp.asarray(y), std, length, 1e-2
+
+    if name == 'extrapolate':
+        # Reference figures.ipynb cell 16: coarsen 4x (64 -> 16 grid), then
+        # observe only the central 8x8 coarse patch of every 3rd frame —
+        # the posterior must extrapolate the unobserved 3/4 of the domain.
+        length = 8
+        std = 0.01
+        A = lambda x: coarsen(x, 4)[..., ::3, :, 4:12, 4:12]
         y = A(x_star[:length]) + std * rng.standard_normal(
             A(x_star[:length]).shape
         ).astype(np.float32)
@@ -111,17 +130,28 @@ def assimilate(
     chunk: int = None,
     remat: bool = False,
     method: str = 'sda',
+    stride: int = 8,
+    offset: int = 0,
+    mesh: str = None,
 ):
     rng = np.random.RandomState(seed)
 
     x_test = load_h5(PATH / 'data/test.h5')
     x_star = x_test[seed % len(x_test)]  # (64, 2, 64, 64)
 
-    A, y, std, length, gamma = get_scenario(scenario, x_star, rng)
+    A, y, std, length, gamma = get_scenario(scenario, x_star, rng, stride, offset)
+
+    if mesh is not None:
+        # e.g. --mesh sp=4 or --mesh dp=2,sp=4: sequence-parallel scoring of
+        # the trajectory axis with halo exchange (ShardedMCScoreNet).
+        from sda_tpu.parallel import make_mesh
+
+        axes = {k: int(v) for k, v in (kv.split('=') for kv in mesh.split(','))}
+        mesh = make_mesh(axes)
 
     module, params, config = load_score(PATH / f'runs/{run}')
     score = make_trajectory_eps(
-        module, params, config.get('window', 5), chunk=chunk
+        module, params, config.get('window', 5), chunk=chunk, mesh=mesh
     )
 
     if method == 'sda':
@@ -147,14 +177,17 @@ def assimilate(
 
     # Posterior-consistency check (reference figures.ipynb cells 11/18/25).
     residual = float(jnp.std(A(xs) - y))
-    print(f'{scenario}[{method}]: residual std = {residual:.4f} (obs std = {std})')
+    label = scenario
+    if scenario == 'subsample':
+        label = f'subsample_{offset}s{stride}' if offset else f'subsample_s{stride}'
+    print(f'{label}[{method}]: residual std = {residual:.4f} (obs std = {std})')
 
     if render:
         from utils import draw
 
         w = np.asarray(vorticity(xs[:, :: max(length // 8, 1)]))
         suffix = '' if method == 'sda' else f'_{method}'
-        out = PATH / f'results/{scenario}_{run}{suffix}.png'
+        out = PATH / f'results/{label}_{run}{suffix}.png'
         out.parent.mkdir(parents=True, exist_ok=True)
         draw(w).save(out)
         print(f'rendered {out}')
@@ -181,10 +214,18 @@ if __name__ == '__main__':
                         help='rematerialize the score net inside the guidance VJP')
     parser.add_argument('--method', choices=['sda', 'dps'], default='sda',
                         help='guidance: SDA variance-inflated or DPS baseline')
+    parser.add_argument('--stride', type=int, default=8,
+                        help='subsample scenario: pixel stride (2/4/8/16)')
+    parser.add_argument('--offset', type=int, default=0,
+                        help='subsample scenario: grid offset (e.g. 7 for 7::16)')
+    parser.add_argument('--mesh', type=str, default=None,
+                        help="sequence-parallel mesh, e.g. 'sp=4' (trajectory "
+                             'length must divide by sp, chunks must hold a window)')
     args = parser.parse_args()
 
     assimilate(
         args.run, args.scenario, args.samples,
         args.steps, args.corrections, args.tau, args.seed,
         chunk=args.chunk, remat=args.remat, method=args.method,
+        stride=args.stride, offset=args.offset, mesh=args.mesh,
     )

@@ -69,12 +69,20 @@ LOCAL_CONFIG = {
 }
 
 
-def train(model: str, seed: int, epochs: int = None, use_mesh: bool = False, resume: bool = False):
+def train(model: str, seed: int, epochs: int = None, use_mesh: bool = False, resume: bool = False, window: int = None):
     config = dict(GLOBAL_CONFIG if model == 'global' else LOCAL_CONFIG)
     if epochs is not None:
         config['epochs'] = epochs
+    if window is not None and model == 'local':
+        config['window'] = window
 
-    runpath = PATH / f'runs/{model}_{seed}'
+    # Run naming: local models carry their Markov order k = window // 2 (the
+    # reference's k-sweep trains k = 1..4, eval.py:33-39); 'local_{seed}'
+    # remains the legacy k=2 name from round 1.
+    if model == 'local' and window is not None:
+        runpath = PATH / f'runs/local_k{config["window"] // 2}_{seed}'
+    else:
+        runpath = PATH / f'runs/{model}_{seed}'
     runpath.mkdir(parents=True, exist_ok=True)
     if not (runpath / 'config.json').exists():
         save_config(config, runpath)
@@ -154,6 +162,7 @@ if __name__ == '__main__':
     parser.add_argument('--epochs', type=int, default=None)
     parser.add_argument('--mesh', action='store_true', help='shard batches over all devices')
     parser.add_argument('--resume', action='store_true', help='continue from the latest checkpoint')
+    parser.add_argument('--window', type=int, default=None, help='local window size 2k+1 (k-sweep)')
     args = parser.parse_args()
 
-    train(args.model, args.seed, args.epochs, args.mesh, args.resume)
+    train(args.model, args.seed, args.epochs, args.mesh, args.resume, args.window)

@@ -10,7 +10,6 @@ mesh is a constraint annotation away.
 
 from __future__ import annotations
 
-import math
 from typing import Callable, Dict, Iterator, Optional
 
 import jax
@@ -24,11 +23,13 @@ from .data import TrajectoryDataset
 Array = jax.Array
 
 
-#: Per-epoch LR decay factors (reference ``sda/utils.py:117-124``).
+#: Per-epoch LR decay factors (reference ``sda/utils.py:117-124``); written
+#: in jnp so the same function serves the traced optax schedule and host-side
+#: reporting.
 SCHEDULES: Dict[str, Callable[[float, int], float]] = {
     'linear': lambda t, epochs: 1 - (t / epochs),
-    'cosine': lambda t, epochs: (1 + math.cos(math.pi * t / epochs)) / 2,
-    'exponential': lambda t, epochs: math.exp(-7 * (t / epochs) ** 2),
+    'cosine': lambda t, epochs: (1 + jnp.cos(jnp.pi * t / epochs)) / 2,
+    'exponential': lambda t, epochs: jnp.exp(-7 * (t / epochs) ** 2),
     'constant': lambda t, epochs: 1.0,
 }
 
@@ -86,26 +87,21 @@ class Trainer:
         self.validset = validset
         self.epochs = epochs
         self.batch_size = batch_size
-        self.base_lr = learning_rate
-        self.factor = SCHEDULES[scheduler]
         self.mesh = mesh
         self.eps_wrapper = eps_wrapper
         self.key = jax.random.key(0) if key is None else key
         self.epoch = 0
 
         steps_per_epoch = max(len(trainset) // batch_size, 1)
+        factor = SCHEDULES[scheduler]
 
+        # Single source of truth for the LR: optax consumes it per step
+        # (traced), step_epoch reports it per epoch (host).
         def lr_schedule(count):
-            t = count // steps_per_epoch
-            if scheduler == 'linear':
-                f = 1 - t / epochs
-            elif scheduler == 'cosine':
-                f = (1 + jnp.cos(jnp.pi * t / epochs)) / 2
-            elif scheduler == 'exponential':
-                f = jnp.exp(-7 * (t / epochs) ** 2)
-            else:
-                f = 1.0
-            return learning_rate * f
+            return learning_rate * factor(count // steps_per_epoch, epochs)
+
+        self._lr_schedule = lr_schedule
+        self._steps_per_epoch = steps_per_epoch
 
         self.optimizer = optax.adamw(
             learning_rate=lr_schedule, weight_decay=weight_decay
@@ -195,7 +191,7 @@ class Trainer:
     def step_epoch(self) -> Dict[str, float]:
         r"""Runs one epoch; returns ``{'loss_train', 'loss_valid', 'lr'}``."""
 
-        lr = self.base_lr * self.factor(self.epoch, self.epochs)
+        lr = float(self._lr_schedule(self.epoch * self._steps_per_epoch))
 
         self.key, sub = jax.random.split(self.key)
         self.params, self.opt_state, lt, lv = self._epoch_fn(
