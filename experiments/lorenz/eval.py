@@ -221,6 +221,8 @@ if __name__ == '__main__':
     parser.add_argument('--steps', type=int, default=256)
     parser.add_argument('--block', type=int, default=16,
                         help='indices evaluated per on-device batch')
+    parser.add_argument('--corrections', type=str, default='0,1,2,4,8,16',
+                        help='comma-separated Langevin correction counts')
     args = parser.parse_args()
 
     if args.command == 'observations':
@@ -228,5 +230,7 @@ if __name__ == '__main__':
     else:
         evaluate(
             args.run, args.local, args.freq, parse_indices(args.indices),
-            args.samples, args.steps, block=args.block,
+            args.samples, args.steps,
+            corrections=tuple(int(c) for c in args.corrections.split(',')),
+            block=args.block,
         )

@@ -16,11 +16,19 @@ outside the hot loop).
 The kernels tile the batch axis; basis matrices are replicated into VMEM
 once per tile. All matmuls request float32 accumulation explicitly.
 
-Measured on TPU v5e (256^2, batch 8, full NS step): the fused kernel runs at
-~0.8x the speed of the plain XLA einsum path — XLA's own dot pipelining
-already hides the stage-1 HBM round-trip at these sizes, so the matmul path
-remains the default (``RealDFT2(method='matmul')``). The kernel is kept as
-an optimization surface for larger grids / multi-field fusion.
+**Status: PARKED (experimental), with data.** Measured on TPU v5e (256^2,
+batch 8, full NS step): the fused kernel runs at ~0.8x the plain XLA einsum
+path. Why, quantitatively: one 256^2 transform at batch 8 is ~120 MFLOP
+(~2 us of MXU) against ~3 MB of HBM traffic (~4 us at v5e bandwidth) — a
+microsecond, bandwidth-bound op. XLA already pipelines the two stage dots
+and, crucially, fuses the surrounding elementwise spectral arithmetic into
+them; a ``pallas_call`` is an optimization *barrier* that breaks exactly
+that fusion, which costs more than the VMEM-resident intermediate saves.
+A genuine win would require fusing an entire ``_nonlinear`` NS substep
+(5 transforms + products) into one kernel — worthwhile only if the solver
+(already 700x+ over the reference's budget, BENCH) ever becomes the
+bottleneck. Until then ``RealDFT2(method='matmul')`` is the default and
+this module is not counted as a performance feature.
 """
 
 from __future__ import annotations

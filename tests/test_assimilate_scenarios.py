@@ -1,0 +1,65 @@
+r"""Scenario-catalog tests: the exact reference observation operators
+(extrapolation = coarsen-then-patch, offset subsampling grids) build,
+differentiate, and match their stated geometry (figures.ipynb cells 16/30-41,
+figures_bis.ipynb cells 5-10)."""
+
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO / 'experiments/kolmogorov'))
+sys.modules.pop('utils', None)
+
+import utils as kolmo_utils  # noqa: F401,E402  (bootstraps sys.path)
+from assimilate import get_scenario  # noqa: E402
+
+sys.path.pop(0)
+
+
+def test_extrapolate_geometry():
+    rng = np.random.RandomState(0)
+    x_star = rng.standard_normal((16, 2, 64, 64)).astype(np.float32)
+
+    A, y, std, length, gamma = get_scenario('extrapolate', x_star, rng)
+
+    # coarsen(x, 4)[..., ::3, :, 4:12, 4:12]: 8 frames -> every 3rd (3),
+    # 16x16 coarse grid -> central 8x8 patch.
+    assert y.shape == (3, 2, 8, 8)
+    assert std == 0.01
+
+    # Differentiable (used inside the guidance VJP).
+    g = jax.grad(lambda x: jnp.sum(A(x) ** 2))(jnp.asarray(x_star[:length]))
+    assert np.all(np.isfinite(np.asarray(g)))
+
+    # Blind outside the observed coarse patch: perturbing a corner pixel
+    # (coarse cell 0,0) must not change A(x).
+    x2 = x_star[:length].copy()
+    x2[..., :4, :4] += 7.0
+    assert np.allclose(
+        np.asarray(A(jnp.asarray(x_star[:length]))), np.asarray(A(jnp.asarray(x2)))
+    )
+
+
+def test_subsample_strides_and_offset():
+    rng = np.random.RandomState(0)
+    x_star = rng.standard_normal((16, 2, 64, 64)).astype(np.float32)
+
+    for stride in (2, 4, 8, 16):
+        A, y, std, length, gamma = get_scenario(
+            'subsample', x_star, rng, stride=stride
+        )
+        assert y.shape == (8, 2, 64 // stride, 64 // stride)
+        assert std == 0.1
+
+    # Offset grid 7::16 (figures_bis.ipynb cell 9).
+    A, y, std, length, gamma = get_scenario(
+        'subsample', x_star, rng, stride=16, offset=7
+    )
+    assert y.shape == (8, 2, 4, 4)
+    expected = x_star[:8][..., 7::16, 7::16]
+    got = np.asarray(A(jnp.asarray(x_star[:8])))
+    assert np.allclose(got, expected)
