@@ -11,12 +11,18 @@ import jax.numpy as jnp
 import numpy as np
 
 REPO = Path(__file__).resolve().parents[1]
-sys.path.insert(0, str(REPO / 'experiments/kolmogorov'))
-sys.modules.pop('utils', None)
 
-import utils as kolmo_utils  # noqa: F401,E402  (bootstraps sys.path)
+# Each experiment pack has its own utils.py/assimilate.py; load by path so
+# same-named modules from other packs (already cached by other test files)
+# cannot shadow these.
+sys.path.insert(0, str(REPO / 'experiments/kolmogorov'))
+for name in ('utils', 'assimilate'):
+    sys.modules.pop(name, None)
+
 from assimilate import get_scenario  # noqa: E402
 
+for name in ('utils', 'assimilate'):
+    sys.modules.pop(name, None)
 sys.path.pop(0)
 
 

@@ -10,11 +10,15 @@ import numpy as np
 
 REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO / 'experiments/qg'))
-sys.modules.pop('utils', None)
+for name in ('utils', 'assimilate'):
+    sys.modules.pop(name, None)
 
 import utils as qg_utils  # noqa: E402
 from assimilate import get_scenario  # noqa: E402
 
+# Leave no cached same-named modules behind for other packs' tests.
+for name in ('utils', 'assimilate'):
+    sys.modules.pop(name, None)
 sys.path.pop(0)
 
 from sda_tpu.diffusion import GaussianScore, VPSDE  # noqa: E402
