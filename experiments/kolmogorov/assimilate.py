@@ -35,7 +35,8 @@ from sda_tpu.dynamics import coarsen, vorticity
 from sda_tpu.train import load_h5
 
 
-def get_scenario(name: str, x_star, rng, stride: int = 8, offset: int = 0):
+def get_scenario(name: str, x_star, rng, stride: int = 8, offset: int = 0,
+                 length_override: int = None):
     r"""Returns ``(A, y, std, length, gamma)`` for a named scenario.
 
     ``x_star`` is a reference trajectory ``(L, 2, 64, 64)`` in model space.
@@ -97,8 +98,10 @@ def get_scenario(name: str, x_star, rng, stride: int = 8, offset: int = 0):
     if name == 'loop':
         # Reference scale (figures.ipynb cell 43): a CLOSED loop of 127
         # frames — generative trajectory length is arbitrary at inference,
-        # well beyond the 64-frame training data.
-        length = 127
+        # well beyond the 64-frame training data. ``length`` is overridable
+        # (--length): 127 is prime, so sequence-parallel runs (--mesh sp=N)
+        # need a length divisible by the shard count, e.g. 128.
+        length = length_override or 127
         std = 1e-2
         A = lambda x: x[..., 0, :, :, :] - x[..., -1, :, :, :]
         y = jnp.zeros((2, 64, 64))
@@ -133,13 +136,16 @@ def assimilate(
     stride: int = 8,
     offset: int = 0,
     mesh: str = None,
+    length: int = None,
 ):
     rng = np.random.RandomState(seed)
 
     x_test = load_h5(PATH / 'data/test.h5')
     x_star = x_test[seed % len(x_test)]  # (64, 2, 64, 64)
 
-    A, y, std, length, gamma = get_scenario(scenario, x_star, rng, stride, offset)
+    A, y, std, length, gamma = get_scenario(
+        scenario, x_star, rng, stride, offset, length_override=length
+    )
 
     if mesh is not None:
         # e.g. --mesh sp=4 or --mesh dp=2,sp=4: sequence-parallel scoring of
@@ -221,6 +227,8 @@ if __name__ == '__main__':
     parser.add_argument('--mesh', type=str, default=None,
                         help="sequence-parallel mesh, e.g. 'sp=4' (trajectory "
                              'length must divide by sp, chunks must hold a window)')
+    parser.add_argument('--length', type=int, default=None,
+                        help='loop scenario: trajectory length override')
     args = parser.parse_args()
 
     assimilate(
@@ -228,4 +236,5 @@ if __name__ == '__main__':
         args.steps, args.corrections, args.tau, args.seed,
         chunk=args.chunk, remat=args.remat, method=args.method,
         stride=args.stride, offset=args.offset, mesh=args.mesh,
+        length=args.length,
     )

@@ -45,11 +45,16 @@ def make_mesh(
         known = int(np.prod([s for s in sizes if s != -1]))
         sizes[sizes.index(-1)] = n // known
 
-    assert int(np.prod(sizes)) == n, (
-        f'mesh {dict(zip(names, sizes))} does not cover {n} devices'
+    need = int(np.prod(sizes))
+    assert need <= n, (
+        f'mesh {dict(zip(names, sizes))} needs {need} devices, have {n}'
     )
 
-    mesh_devices = mesh_utils.create_device_mesh(sizes, devices=list(devices))
+    # A smaller mesh (e.g. --mesh sp=4 on an 8-device host) takes the first
+    # `need` devices.
+    devices = list(devices)[:need]
+
+    mesh_devices = mesh_utils.create_device_mesh(sizes, devices=devices)
 
     return Mesh(mesh_devices, axis_names=tuple(names))
 
