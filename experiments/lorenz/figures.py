@@ -1,116 +1,133 @@
 #!/usr/bin/env python
-r"""Lorenz demo figure: BPF posterior vs. zero-shot SDA vs. weak 4D-Var.
+r"""Lorenz statistics figure + summary table from the eval CSVs.
 
-Counterpart of the reference's ``experiments/lorenz/figures.ipynb``: for one
-test observation sequence, overlays the observed coordinate's ground-truth
-posterior envelope (bootstrap particle filter), the guided SDA posterior
-samples, and the 4D-Var point estimate. Writes
-``storage/results/assimilation.png``.
+Counterpart of reference ``experiments/lorenz/figures.ipynb`` cell 9: per
+(model, corrections) medians of log-prior / log-likelihood / W1 against the
+BPF ground truth, for the 'lo' and 'hi' observation settings, drawn as
+corrections-vs-metric panels. Also prints a markdown summary table.
 """
 
 import argparse
+from pathlib import Path
 
-import h5py
-import jax
-import jax.numpy as jnp
 import numpy as np
 
-from utils import (
-    PATH,
-    load_score,
-    make_chain,
-    make_trajectory_eps,
-    posterior,
-    weak_4d_var,
-)
+from utils import PATH
 
-from sda_tpu.diffusion import GaussianScore, VPSDE
+COLUMNS = ['index', 'run', 'corrections', 'log_px', 'log_py', 'w1']
 
 
-def main(run: str, local: bool, freq: str, index: int, samples: int, steps: int):
-    chain = make_chain()
-    key = jax.random.key(index)
+def load_stats(freq: str):
+    rows = []
+    csv = PATH / f'results/stats_{freq}.csv'
+    for line in csv.read_text().splitlines():
+        parts = line.split(',')
+        if len(parts) != 6:
+            continue
+        rows.append({
+            'index': int(parts[0]),
+            'run': parts[1],
+            'corrections': None if parts[2] == '' else int(parts[2]),
+            'log_px': float(parts[3]),
+            'log_py': float(parts[4]),
+            'w1': float(parts[5]),
+        })
+    return rows
 
-    with h5py.File(PATH / 'results/obs.h5', mode='r') as f:
-        y = jnp.asarray(f[freq][index], dtype=jnp.float32)
 
-    A_raw = lambda x: chain.preprocess(x)[..., :1]
-    sigma, step = (0.05, 8) if freq == 'lo' else (0.25, 1)
+def medians(rows, run, C=None):
+    sel = [r for r in rows if r['run'] == run and r['corrections'] == C]
+    if not sel:
+        return None
+    return {
+        k: float(np.median([r[k] for r in sel]))
+        for k in ('log_px', 'log_py', 'w1')
+    } | {'n': len(sel)}
 
-    k1, k2, k3 = jax.random.split(key, 3)
 
-    # Ground truth: BPF posterior envelope.
-    x_bpf = posterior(k1, y, A=A_raw, sigma=sigma, step=step, particles=4096)
-    x_bpf = x_bpf[:samples]
+def main(runs, out: Path = None, show_table: bool = True):
+    corrections = (0, 1, 2, 4, 8, 16)
 
-    # Zero-shot SDA posterior.
-    module, params, config = load_score(PATH / f'runs/{run}', local=local)
-    score = make_trajectory_eps(module, params, local, config.get('window', 5))
+    table = {}
+    for freq in ('lo', 'hi'):
+        rows = load_stats(freq)
+        table[freq] = {'ground-truth': medians(rows, 'ground-truth')}
+        for run in runs:
+            table[freq][run] = {
+                C: medians(rows, run, C) for C in corrections
+            }
 
-    sde = VPSDE(
-        eps=GaussianScore(
-            y=y,
-            A=lambda x: x[..., ::step, :1],
-            std=sigma,
-            sde=VPSDE(eps=score, shape=()),
-            gamma=3e-2,
-        ),
-        shape=(65, 3),
-    )
-    x_sda = sde.sample(k2, (samples,), steps=steps, corrections=2, tau=0.25)
-    x_sda = chain.postprocess(x_sda)
+    if show_table:
+        for freq in ('lo', 'hi'):
+            gt = table[freq]['ground-truth']
+            if gt is None:
+                continue
+            print(f"\n### {freq} — medians over indices "
+                  f"(BPF floor: log-prior {gt['log_px']:.1f}, "
+                  f"log-lik {gt['log_py']:.2f}, W1 {gt['w1']:.2f}; "
+                  f"n={gt['n']})\n")
+            print('| model | ' + ' | '.join(f'W1@C={c}' for c in corrections)
+                  + ' | log-prior@C=16 |')
+            print('|---|' + '---|' * (len(corrections) + 1))
+            for run in runs:
+                cells = []
+                for C in corrections:
+                    m = table[freq][run][C]
+                    cells.append(f"{m['w1']:.1f}" if m else '—')
+                m16 = table[freq][run][16]
+                tail = f"{m16['log_px']:.1f}" if m16 else '—'
+                print(f'| {run} | ' + ' | '.join(cells) + f' | {tail} |')
 
-    # Weak 4D-Var point estimate, started from a prior rollout.
-    x0 = chain.prior(k3, ())
-    x0 = chain.trajectory(jax.random.key(0), x0, length=64, last=True)
-    start = chain.trajectory(jax.random.key(1), x0, length=65)
-    x_var = weak_4d_var(
-        start, y, A=A_raw, sigma=sigma, step=step, iterations=200,
-    )
+    # Figure (reference cell 9 layout: metric vs corrections, BPF dashed).
+    try:
+        import matplotlib
 
-    # Figure
-    import matplotlib
+        matplotlib.use('Agg')
+        import matplotlib.pyplot as plt
 
-    matplotlib.use('Agg')
-    import matplotlib.pyplot as plt
+        fig, axes = plt.subplots(2, 3, figsize=(12, 6), sharey='row')
+        metrics = ('log_px', 'log_py', 'w1')
+        labels = (r'log p(x_2:L | x_1)', r'log p(y | x)', 'W1')
 
-    t = np.arange(65) * 0.025
-    t_obs = t[::step]
-    y_phys = np.asarray(y) * 8.0  # un-standardize coordinate 0 (mu=0, sigma=8)
+        for i, freq in enumerate(('lo', 'hi')):
+            gt = table[freq]['ground-truth']
+            for j, (m, lab) in enumerate(zip(metrics, labels)):
+                ax = axes[i, j]
+                if gt:
+                    ax.axvline(gt[m], ls='--', c='r', label='BPF')
+                for run in runs:
+                    pts = [
+                        (table[freq][run][C][m], C)
+                        for C in corrections
+                        if table[freq][run][C]
+                    ]
+                    if pts:
+                        ax.plot(*zip(*pts), '-o', ms=3, label=run)
+                ax.set_yscale('symlog', base=2, linthresh=1)
+                ax.set_yticks(corrections)
+                ax.set_yticklabels(corrections)
+                if m == 'log_px':
+                    ax.set_xlim(-300, 150)
+                ax.set_xlabel(f'{lab} ({freq})')
+                ax.grid(alpha=0.3)
+        axes[0, 0].set_ylabel('corrections')
+        axes[1, 0].set_ylabel('corrections')
+        axes[0, 2].legend(fontsize=7)
 
-    fig, ax = plt.subplots(figsize=(10, 4))
-
-    bpf0 = np.asarray(x_bpf[..., 0])
-    lo, hi = np.percentile(bpf0, [5, 95], axis=0)
-    ax.fill_between(t[: bpf0.shape[1]], lo, hi, alpha=0.25, label='BPF 90% envelope')
-
-    sda0 = np.asarray(x_sda[..., 0])
-    for i in range(min(16, samples)):
-        ax.plot(t, sda0[i], lw=0.5, alpha=0.4, color='C1')
-    ax.plot([], [], color='C1', label='SDA posterior samples')
-
-    ax.plot(t, np.asarray(x_var[..., 0]), 'k--', lw=1.5, label='weak 4D-Var')
-    ax.plot(t_obs, y_phys[:, 0], 'r.', ms=8, label='observations')
-
-    ax.set(xlabel='time', ylabel='$x_1$', title=f'Lorenz assimilation ({freq})')
-    ax.legend(loc='upper right', fontsize=8)
-    fig.tight_layout()
-
-    out = PATH / 'results/assimilation.png'
-    out.parent.mkdir(parents=True, exist_ok=True)
-    fig.savefig(out, dpi=130)
-    print(f'wrote {out}')
+        fig.tight_layout()
+        out = out or (PATH / 'results/statistics.png')
+        fig.savefig(out, dpi=130)
+        print(f'\nfigure -> {out}')
+    except Exception as err:
+        print(f'figure skipped: {err}')
 
 
 if __name__ == '__main__':
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument('--run', type=str, default='local_0')
-    parser.add_argument('--local', action='store_true', default=True)
-    parser.add_argument('--global', dest='local', action='store_false')
-    parser.add_argument('--freq', choices=['lo', 'hi'], default='lo')
-    parser.add_argument('--index', type=int, default=0)
-    parser.add_argument('--samples', type=int, default=64)
-    parser.add_argument('--steps', type=int, default=256)
+    parser.add_argument(
+        '--runs', type=str,
+        default='local_k1_0,local_k2_0,local_k3_0,local_k4_0,global_0',
+    )
     args = parser.parse_args()
 
-    main(args.run, args.local, args.freq, args.index, args.samples, args.steps)
+    main(args.runs.split(','))

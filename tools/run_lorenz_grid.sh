@@ -25,10 +25,10 @@ run_cell() {
 
 for freq in lo hi; do
   for k in 1 2 3 4; do
-    run_cell "local_k${k}_0" "--local" "$freq" "0,1,2,4,8" 8
+    run_cell "local_k${k}_0" "--local" "$freq" "0,1,2,4,8" 4
     run_cell "local_k${k}_0" "--local" "$freq" "16" 1
   done
-  run_cell "global_0" "--global" "$freq" "0,1,2,4,8" 8
+  run_cell "global_0" "--global" "$freq" "0,1,2,4,8" 4
   run_cell "global_0" "--global" "$freq" "16" 1
 done
 
