@@ -229,11 +229,14 @@ if __name__ == '__main__':
                              'length must divide by sp, chunks must hold a window)')
     parser.add_argument('--length', type=int, default=None,
                         help='loop scenario: trajectory length override')
+    parser.add_argument('--no-render', dest='render', action='store_false',
+                        default=True)
     args = parser.parse_args()
 
     assimilate(
         args.run, args.scenario, args.samples,
         args.steps, args.corrections, args.tau, args.seed,
+        render=args.render,
         chunk=args.chunk, remat=args.remat, method=args.method,
         stride=args.stride, offset=args.offset, mesh=args.mesh,
         length=args.length,
