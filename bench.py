@@ -69,21 +69,25 @@ def compiled_flops(fn, *args) -> float:
         return 0.0
 
 
-def bench_sampler():
+def bench_sampler(smoke: bool = False):
     r"""Flagship: fused guided Kolmogorov assimilation (coarse scenario)."""
 
     from sda_tpu.diffusion import GaussianScore, LocalScoreUNet, VPSDE, bind_eps
     from sda_tpu.diffusion.windowed import MCScoreNet
     from sda_tpu.dynamics import coarsen
 
-    length, steps, corrections, batch, window = 32, 256, 1, 4, 5
+    if smoke:
+        length, steps, corrections, batch, window = 8, 4, 1, 1, 5
+        arch = {'hidden_channels': (8, 16), 'hidden_blocks': (1, 1)}
+    else:
+        length, steps, corrections, batch, window = 32, 256, 1, 4, 5
+        arch = {'hidden_channels': (96, 192, 384), 'hidden_blocks': (3, 3, 3)}
 
     module = LocalScoreUNet(
         channels=window * 2,
         size=64,
-        hidden_channels=(96, 192, 384),
-        hidden_blocks=(3, 3, 3),
         activation=jax.nn.silu,
+        **arch,
     )
 
     # Trained weights when available (storage is gitignored); random init
@@ -91,7 +95,7 @@ def bench_sampler():
     from pathlib import Path
 
     runpath = Path(__file__).parent / 'experiments/kolmogorov/storage/runs/unet_0'
-    if (runpath / 'state.msgpack').exists():
+    if (runpath / 'state.msgpack').exists() and not smoke:
         sys.path.insert(0, str(Path(__file__).parent / 'experiments/kolmogorov'))
         from utils import load_score
 
@@ -160,14 +164,19 @@ def bench_sampler():
     }
 
 
-def bench_train_step():
+def bench_train_step(smoke: bool = False):
     r"""One jitted training epoch of the Kolmogorov window U-Net."""
 
     from sda_tpu.diffusion import LocalScoreUNet, VPSDE
     from sda_tpu.train import TrajectoryDataset, Trainer
 
     window, batch = 5, 32
-    n, length = 256, 16  # synthetic stand-in dataset (timing-identical)
+    if smoke:
+        n, length = 64, 8
+        arch = {'hidden_channels': (8, 16), 'hidden_blocks': (1, 1)}
+    else:
+        n, length = 256, 16  # synthetic stand-in dataset (timing-identical)
+        arch = {'hidden_channels': (96, 192, 384), 'hidden_blocks': (3, 3, 3)}
 
     rng = np.random.RandomState(0)
     data = rng.standard_normal((n, length, 2, 64, 64)).astype(np.float32)
@@ -175,9 +184,8 @@ def bench_train_step():
     module = LocalScoreUNet(
         channels=window * 2,
         size=64,
-        hidden_channels=(96, 192, 384),
-        hidden_blocks=(3, 3, 3),
         activation=jax.nn.silu,
+        **arch,
     )
     params = module.init(
         jax.random.key(0), np.zeros((1, window * 2, 64, 64), np.float32), np.ones(())
@@ -209,12 +217,12 @@ def bench_train_step():
     }
 
 
-def bench_datagen():
+def bench_datagen(smoke: bool = False):
     r"""256^2 spectral NS trajectory generation (round-1 headline)."""
 
     from sda_tpu.dynamics import KolmogorovFlow
 
-    size, length, batch = 256, 128, 16
+    size, length, batch = (64, 4, 2) if smoke else (256, 128, 16)
     chain = KolmogorovFlow(size=size, dt=0.2)
 
     @jax.jit
@@ -244,6 +252,8 @@ def main():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument('--trace', type=str, default=None,
                         help='write a jax.profiler trace of the sampler here')
+    parser.add_argument('--smoke', action='store_true',
+                        help='tiny shapes (logic check, e.g. on CPU)')
     args = parser.parse_args()
 
     from sda_tpu.utils import enable_compilation_cache
@@ -251,7 +261,7 @@ def main():
     enable_compilation_cache()
 
     log('bench: train step ...')
-    train = bench_train_step()
+    train = bench_train_step(args.smoke)
     log(f'bench: {train}')
 
     log('bench: guided sampler (flagship) ...')
@@ -259,13 +269,13 @@ def main():
         from sda_tpu.utils import profile_trace
 
         with profile_trace(args.trace):
-            sampler = bench_sampler()
+            sampler = bench_sampler(args.smoke)
     else:
-        sampler = bench_sampler()
+        sampler = bench_sampler(args.smoke)
     log(f'bench: {sampler}')
 
     log('bench: data generation ...')
-    datagen = bench_datagen()
+    datagen = bench_datagen(args.smoke)
     log(f'bench: {datagen}')
 
     result = {
