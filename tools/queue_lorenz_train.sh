@@ -1,6 +1,8 @@
 #!/bin/sh
 # Serial TPU training queue: Lorenz k-sweep (k=1..4, windows 3/5/7/9) x 3
-# seeds + global seeds 1,2 (global_0 and legacy local_0 are round-1 runs).
+# seeds + global x 3 seeds. Matches the reference's array=3 per variant
+# (reference experiments/lorenz/train.py:47,97). Idempotent: skips runs whose
+# final state.msgpack exists.
 cd /root/repo/experiments/lorenz || exit 1
 
 for k in 1 2 3 4; do
@@ -13,7 +15,7 @@ for k in 1 2 3 4; do
   done
 done
 
-for s in 1 2; do
+for s in 0 1 2; do
   if [ ! -f "storage/runs/global_${s}/state.msgpack" ]; then
     echo "=== global seed $s ==="
     python3 train.py --model global --seed "$s" || exit 1

@@ -1,0 +1,24 @@
+#!/bin/sh
+# Phase 3: Kolmogorov dataset (reference scale: 1024 x 128 steps @ 256^2,
+# coarsened 4x -> (N,64,2,64,64)), solver validation gate, U-Net training
+# (3 seeds, matching the reference's array=3). Idempotent.
+cd /root/repo/experiments/kolmogorov || exit 1
+
+if [ ! -f storage/data/train.h5 ]; then
+  echo "=== generate (1024 traj @ 256^2) ==="
+  python3 generate.py || exit 1
+fi
+
+if [ ! -f storage/results/solver_validation.json ]; then
+  echo "=== solver validation gate ==="
+  python3 validate_solver.py || exit 1
+fi
+
+for s in 0 1 2; do
+  if [ ! -f "storage/runs/unet_${s}/state.msgpack" ]; then
+    echo "=== unet seed $s ==="
+    python3 train.py --seed "$s" --bf16 --resume || exit 1
+  fi
+done
+
+echo "PHASE3 DONE"
