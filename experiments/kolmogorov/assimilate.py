@@ -16,9 +16,15 @@ Scenarios (reference cell in parentheses):
                    every 3rd frame — conditions only on a sub-region, the
                    rest is extrapolated (cell 16, figures_bis.ipynb cell 5)
 - ``patch``:       a centered full-resolution spatial patch, 3-frame stride
-- ``saturation``:  nonlinear vorticity saturation w/(1+|w|) (cell 23)
+- ``saturation``:  nonlinear observation process (cell 23): 4x-coarsen every
+                   3rd frame, vorticity, saturate w/(1+|w|), central 12x12
+                   patch
 - ``loop``:        loop closure A(x) = x[0] - x[-1], y = 0 (cell 43)
-- ``vorticity``:   masked vorticity conditioning (cell 4)
+- ``vorticity``:   masked vorticity conditioning of a real trajectory
+- ``circle``:      the paper's cover demo (cells 4-6): condition the LAST
+                   frame's vorticity on a synthetic ring, then check physical
+                   plausibility by re-simulating the sampled initial frame
+                   with the spectral solver at 256^2
 """
 
 import argparse
@@ -84,16 +90,32 @@ def get_scenario(name: str, x_star, rng, stride: int = 8, offset: int = 0,
         return A, jnp.asarray(y), std, length, 1e-2
 
     if name == 'saturation':
+        # Reference figures.ipynb cell 23 exactly: coarsen 4x every 3rd
+        # frame, vorticity, saturate w/(1+|w|), observe the central 12x12
+        # coarse patch.
         length = 8
         std = 0.05
 
         def A(x):
-            w = vorticity(x)
-            return w / (1 + jnp.abs(w))
+            w = vorticity(coarsen(x[..., ::3, :, :, :], 4))
+            w = w / (1 + jnp.abs(w))
+            return w[..., 2:14, 2:14]
 
         y = np.asarray(A(jnp.asarray(x_star[:length])))
         y = y + std * rng.standard_normal(y.shape).astype(np.float32)
         return A, jnp.asarray(y), std, length, 1e-2
+
+    if name == 'circle':
+        # Reference figures.ipynb cell 4: a synthetic ring target for the
+        # last frame's vorticity — pure "dream up a flow whose vorticity
+        # draws a circle" conditioning; y is NOT derived from data.
+        length = 8
+        std = 0.2
+        grid = np.linspace(-1, 1, 64, dtype=np.float32)
+        dist = grid[:, None] ** 2 + grid[None, :] ** 2
+        mask = jnp.asarray((0.4 < dist) & (dist < 0.6), dtype=jnp.float32)
+        A = lambda x: vorticity(x[..., -1, :, :, :]) * mask
+        return A, 0.6 * mask, std, length, 1e-2
 
     if name == 'loop':
         # Reference scale (figures.ipynb cell 43): a CLOSED loop of 127
@@ -198,6 +220,30 @@ def assimilate(
         draw(w).save(out)
         print(f'rendered {out}')
 
+    if scenario == 'circle':
+        # Physical-plausibility check (reference figures.ipynb cell 6):
+        # upsample the sampled initial frame to the native 256^2 grid,
+        # re-simulate with the spectral solver, coarsen back, and compare
+        # the simulated frames with the sampled ones.
+        from utils import make_chain
+
+        from sda_tpu.dynamics import upsample
+
+        chain = make_chain(256)
+        y0 = upsample(xs[0, 0], 4)
+        sim = chain.trajectory(jax.random.key(0), y0, length=length - 1)
+        sim = coarsen(jnp.concatenate([y0[None], sim]), 4)
+
+        num = float(jnp.sum(sim * xs[0]))
+        den = float(jnp.linalg.norm(sim) * jnp.linalg.norm(xs[0]))
+        print(f'circle: sim-vs-sample correlation = {num / den:.4f}')
+
+        if render:
+            w = np.asarray(vorticity(jnp.stack([xs[0], sim])))
+            out = PATH / f'results/circle_sim_{run}.png'
+            draw(w).save(out)
+            print(f'rendered {out} (row 0: sampled, row 1: re-simulated)')
+
     return residual, std
 
 
@@ -207,7 +253,8 @@ if __name__ == '__main__':
     parser.add_argument(
         '--scenario',
         default='coarse',
-        choices=['coarse', 'subsample', 'patch', 'saturation', 'loop', 'vorticity'],
+        choices=['coarse', 'subsample', 'extrapolate', 'patch', 'saturation',
+                 'loop', 'vorticity', 'circle'],
     )
     parser.add_argument('--samples', type=int, default=4)
     parser.add_argument('--steps', type=int, default=256)

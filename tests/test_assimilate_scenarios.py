@@ -69,3 +69,52 @@ def test_subsample_strides_and_offset():
     expected = x_star[:8][..., 7::16, 7::16]
     got = np.asarray(A(jnp.asarray(x_star[:8])))
     assert np.allclose(got, expected)
+
+
+def test_saturation_geometry():
+    r"""Reference figures.ipynb cell 23: coarsen 4x every 3rd frame,
+    vorticity, w/(1+|w|), central 12x12 coarse patch."""
+
+    rng = np.random.RandomState(0)
+    x_star = rng.standard_normal((16, 2, 64, 64)).astype(np.float32)
+
+    A, y, std, length, gamma = get_scenario('saturation', x_star, rng)
+
+    assert length == 8
+    assert y.shape == (3, 12, 12)  # 8 frames ::3 -> 3; 16x16 grid -> [2:14]
+    assert std == 0.05
+
+    # Saturation bounds |A| < 1 (before observation noise).
+    out = np.asarray(A(jnp.asarray(x_star[:length])))
+    assert np.all(np.abs(out) < 1.0)
+
+    g = jax.grad(lambda x: jnp.sum(A(x) ** 2))(jnp.asarray(x_star[:length]))
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_circle_geometry():
+    r"""Reference figures.ipynb cell 4: last frame's vorticity times a ring
+    mask, synthetic target 0.6 on the ring."""
+
+    rng = np.random.RandomState(0)
+    x_star = rng.standard_normal((16, 2, 64, 64)).astype(np.float32)
+
+    A, y, std, length, gamma = get_scenario('circle', x_star, rng)
+
+    assert length == 8
+    assert y.shape == (64, 64)
+    assert std == 0.2
+
+    mask = np.asarray(y) > 0
+    assert 0 < mask.sum() < 64 * 64  # a ring, not empty / full
+    assert np.allclose(np.asarray(y)[mask], 0.6)
+
+    # Only the LAST frame is observed.
+    x2 = x_star[:length].copy()
+    x2[:-1] += 3.0
+    assert np.allclose(
+        np.asarray(A(jnp.asarray(x_star[:length]))), np.asarray(A(jnp.asarray(x2)))
+    )
+
+    g = jax.grad(lambda x: jnp.sum(A(x) ** 2))(jnp.asarray(x_star[:length]))
+    assert np.all(np.isfinite(np.asarray(g)))

@@ -8,3 +8,11 @@ if [ ! -f storage/results/obs.h5 ]; then
 fi
 
 sh /root/repo/tools/run_lorenz_grid.sh "${1:-0-15}"
+
+echo "=== statistics figure + table (figures.ipynb cell 9) ==="
+python3 figures.py || true
+
+echo "=== multimodal-posterior demo (figures.ipynb cells 10-15) ==="
+python3 multimodal.py --run global_0 || true
+
+echo "PHASE2 DONE"

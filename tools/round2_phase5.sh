@@ -6,7 +6,7 @@ cd /root/repo/experiments/kolmogorov || exit 1
 
 RUN="${1:-unet_0}"
 
-for sc in coarse subsample extrapolate patch saturation vorticity; do
+for sc in coarse subsample extrapolate patch saturation vorticity circle; do
   echo "=== scenario: $sc ==="
   python3 assimilate.py --run "$RUN" --scenario "$sc" --samples 4 \
     --steps 256 --corrections 1 || exit 1
