@@ -152,7 +152,7 @@ def train(model: str, seed: int, epochs: int = None, use_mesh: bool = False, res
 
     logger.log({'log_p': log_p})
     logger.finish()
-    print(f'{model}_{seed}: final log_p = {log_p:.3f}')
+    print(f'{runpath.name}: final log_p = {log_p:.3f}')
 
 
 if __name__ == '__main__':
