@@ -14,7 +14,10 @@ if [ ! -f storage/results/solver_validation.json ]; then
   python3 validate_solver.py || exit 1
 fi
 
-for s in 0 1 2; do
+# Seeds to train are the arguments (default: seed 0 now; seeds 1 2 run as a
+# later phase if the TPU budget allows — stated in README).
+SEEDS="${*:-0}"
+for s in $SEEDS; do
   if [ ! -f "storage/runs/unet_${s}/state.msgpack" ]; then
     echo "=== unet seed $s ==="
     python3 train.py --seed "$s" --bf16 --resume || exit 1
