@@ -1,26 +1,29 @@
 #!/bin/sh
 # Lorenz evaluation grid: 5 models (local k=1..4 + global) x {lo, hi} x
-# indices x corrections {0,1,2,4,8,16}, 1024 samples, 256 steps.
+# indices x corrections, 1024 samples, 256 steps.
 #
-# The reference grid is 64 indices (eval.py:42); we evaluate the first 16 —
-# a deliberate 4x index subsample to fit the single-chip TPU budget (stated
-# in README/STATUS). CSV rows are deduped, so crashed runs resume.
-#
-# The axon TPU worker kills long-running single programs: the guided-sampler
-# program's wall clock scales with (1 + corrections) x block, and
-# (1+8) x block4 crashed it (round-2 log) as did C=16 at block>=2 (round 1).
-# Keep (1 + C) x block <= ~20: C<=4 at block 4, C=8 at block 2, C=16 at
-# block 1.
+# Scale notes (stated in README/STATUS):
+# - The reference grid is 64 indices (eval.py:42); we evaluate 16 — a 4x
+#   index subsample to fit the single-chip TPU budget. CSV rows are deduped,
+#   so re-runs resume and the index set can be widened later.
+# - The axon TPU worker kills guided-sampler programs whose wall clock is
+#   too long; it scales with (1 + corrections) x block. Empirically safe:
+#   (1 + C) x block <= ~18 (C=8 at block 4 and C=16 at block >= 2 both
+#   crashed it). Hence per-C block sizes below.
+# - C=16 runs at block 1 (~2.5 min/index): evaluated on 'lo' (where the
+#   convergence-to-the-BPF-floor claim lives) over indices 0-7; on 'hi'
+#   the trend converges by C <= 8 (dense observations) and C=16 is skipped.
 set -x
 cd /root/repo/experiments/lorenz || exit 1
 
 INDICES="${1:-0-15}"
+C16_INDICES="${2:-0-7}"
 
 run_cell() {
-  # run_cell <run> <localflag> <freq> <corrections> <block>
+  # run_cell <run> <localflag> <freq> <corrections> <block> <indices>
   for attempt in 1 2 3; do
     python3 eval.py evaluate --run "$1" $2 --freq "$3" \
-      --indices "$INDICES" --corrections "$4" --block "$5" && return 0
+      --indices "$6" --corrections "$4" --block "$5" && return 0
     echo "retry $attempt: $1 $3 C=$4"
     sleep 10
   done
@@ -28,15 +31,22 @@ run_cell() {
   return 1
 }
 
+run_model() {
+  # run_model <run> <localflag> <freq>
+  run_cell "$1" "$2" "$3" "0,1" 8 "$INDICES"
+  run_cell "$1" "$2" "$3" "2" 6 "$INDICES"
+  run_cell "$1" "$2" "$3" "4" 3 "$INDICES"
+  run_cell "$1" "$2" "$3" "8" 2 "$INDICES"
+  if [ "$3" = "lo" ]; then
+    run_cell "$1" "$2" "$3" "16" 1 "$C16_INDICES"
+  fi
+}
+
 for freq in lo hi; do
   for k in 1 2 3 4; do
-    run_cell "local_k${k}_0" "--local" "$freq" "0,1,2,4" 4
-    run_cell "local_k${k}_0" "--local" "$freq" "8" 2
-    run_cell "local_k${k}_0" "--local" "$freq" "16" 1
+    run_model "local_k${k}_0" "--local" "$freq"
   done
-  run_cell "global_0" "--global" "$freq" "0,1,2,4" 4
-  run_cell "global_0" "--global" "$freq" "8" 2
-  run_cell "global_0" "--global" "$freq" "16" 1
+  run_model "global_0" "--global" "$freq"
 done
 
 echo "GRID DONE"
