@@ -19,11 +19,19 @@ COLUMNS = ['index', 'run', 'corrections', 'log_px', 'log_py', 'w1']
 
 def load_stats(freq: str):
     rows = []
+    seen = set()
     csv = PATH / f'results/stats_{freq}.csv'
     for line in csv.read_text().splitlines():
         parts = line.split(',')
         if len(parts) != 6:
             continue
+        # Re-runs of a grid cell append a second sample of the same
+        # (index, run, corrections) key; keep the first so every index
+        # carries equal weight in the medians.
+        key = (parts[0], parts[1], parts[2])
+        if key in seen:
+            continue
+        seen.add(key)
         rows.append({
             'index': int(parts[0]),
             'run': parts[1],
