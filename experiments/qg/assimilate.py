@@ -86,7 +86,7 @@ def assimilate(
         eps=GaussianScore(
             y=y, A=A, std=std, sde=VPSDE(eps=score, shape=()), gamma=gamma
         ),
-        shape=(length, 2, 64, 64),
+        shape=(length, *x_star.shape[-3:]),
     )
 
     key = jax.random.key(seed)

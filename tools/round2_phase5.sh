@@ -28,14 +28,15 @@ echo "=== DPS baseline (coarse) ==="
 python3 assimilate.py --run "$RUN" --scenario coarse --method dps \
   --samples 4 --steps 256 --corrections 1 || exit 1
 
-echo "=== HBM lever proof ==="
-sh /root/repo/tools/test_hbm_levers.sh
-
 echo "=== quantitative spectral eval ==="
 python3 eval.py --run "$RUN" || true
 
 echo "=== bench ==="
-cd /root/repo && python3 bench.py > BENCH_local.json 2> /tmp/bench.log
-cat BENCH_local.json
+(cd /root/repo && python3 bench.py > BENCH_local.json 2> /tmp/bench.log && cat BENCH_local.json)
+
+# Last on purpose: the plain-path OOM it provokes could wedge the axon
+# worker, which must not take down the eval/bench steps above.
+echo "=== HBM lever proof ==="
+sh /root/repo/tools/test_hbm_levers.sh
 
 echo "PHASE5 DONE"
