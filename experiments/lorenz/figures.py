@@ -21,6 +21,8 @@ def load_stats(freq: str):
     rows = []
     seen = set()
     csv = PATH / f'results/stats_{freq}.csv'
+    if not csv.exists():
+        return rows
     for line in csv.read_text().splitlines():
         parts = line.split(',')
         if len(parts) != 6:
@@ -130,6 +132,44 @@ def main(runs, out: Path = None, show_table: bool = True):
         print(f'figure skipped: {err}')
 
 
+def seed_spread(families=('local_k1', 'local_k2', 'local_k3', 'local_k4', 'global'),
+                seeds=(0, 1, 2), C=8, freq='lo'):
+    r"""Mean +/- spread of per-seed median W1 at one grid cell.
+
+    The reference trains every model x3 seeds (reference
+    ``experiments/lorenz/train.py:47,97``); this summarizes the seed
+    variability at the (freq, C) cell where all seeds were evaluated.
+    Per-seed medians are taken over the common index set so seeds with
+    different evaluated index ranges stay comparable.
+    """
+
+    rows = load_stats(freq)
+    indices = sorted({
+        r['index'] for r in rows
+        if r['run'] == f'{families[0]}_{seeds[1]}' and r['corrections'] == C
+    })
+    print(f'\n### seed spread — {freq}, C={C}, median W1 over indices '
+          f'{indices} (3 training seeds)\n')
+    print('| model | W1 per seed | mean ± spread |')
+    print('|---|---|---|')
+    for fam in families:
+        per_seed = []
+        for s in seeds:
+            sel = [
+                r['w1'] for r in rows
+                if r['run'] == f'{fam}_{s}' and r['corrections'] == C
+                and (not indices or r['index'] in indices)
+            ]
+            if sel:
+                per_seed.append(float(np.median(sel)))
+        if not per_seed:
+            continue
+        mean = float(np.mean(per_seed))
+        spread = (max(per_seed) - min(per_seed)) / 2
+        cells = ', '.join(f'{v:.2f}' for v in per_seed)
+        print(f'| {fam} | {cells} | {mean:.2f} ± {spread:.2f} |')
+
+
 if __name__ == '__main__':
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument(
@@ -139,3 +179,4 @@ if __name__ == '__main__':
     args = parser.parse_args()
 
     main(args.runs.split(','))
+    seed_spread()

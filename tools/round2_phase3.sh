@@ -19,6 +19,7 @@ cd /root/repo/experiments/kolmogorov || exit 1
     python3 eval.py evaluate --run "$run" --global --freq lo \
       --indices 0-7 --corrections 8 --block 2 || echo "seed-spread fail: $run"
   done
+  python3 figures.py || true
 )
 
 if [ ! -f storage/data/train.h5 ]; then
