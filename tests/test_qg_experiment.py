@@ -72,13 +72,27 @@ def test_qg_trajectory_eps_and_guided_sample():
 
 
 def test_qg_scenarios_build():
+    # Both the production resolution and a smaller one: the scenario
+    # operators and the sampling shapes must follow the data, not a
+    # hard-coded 64^2 grid (regression: assimilate.py once sampled at 64^2
+    # regardless of the dataset resolution).
+    for size in (64, 16):
+        rng = np.random.RandomState(0)
+        x_star = rng.standard_normal((16, 2, size, size)).astype(np.float32)
+
+        for name in ('upper', 'coarse', 'subsample'):
+            A, y, std, length, gamma = get_scenario(name, x_star, rng)
+            assert np.all(np.isfinite(np.asarray(y)))
+            assert A(jnp.asarray(x_star[:length])).shape == y.shape
+            # The guidance residual A(x) - y must broadcast for a batch of
+            # samples at the data's own resolution.
+            batch = jnp.asarray(
+                np.stack([x_star[:length], x_star[:length]])
+            )
+            assert (A(batch) - y).shape == (2, *y.shape)
+
     rng = np.random.RandomState(0)
     x_star = rng.standard_normal((16, 2, 64, 64)).astype(np.float32)
-
-    for name in ('upper', 'coarse', 'subsample'):
-        A, y, std, length, gamma = get_scenario(name, x_star, rng)
-        assert np.all(np.isfinite(np.asarray(y)))
-        assert A(jnp.asarray(x_star[:length])).shape == y.shape
 
     # 'upper' must be blind to the bottom layer.
     A, y, std, length, gamma = get_scenario('upper', x_star, rng)
