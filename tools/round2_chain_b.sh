@@ -34,6 +34,10 @@ run_cell global_0 --global hi "2" 6 0-7
 run_cell global_0 --global hi "4" 3 0-7
 run_cell global_0 --global hi "8" 2 0-7
 
+# The C=16 column for the global model (its trend is flat from C>=1; a few
+# indices suffice for the table's log-prior@C=16 cell).
+run_cell global_0 --global lo 16 1 0-3
+
 echo "=== seed-spread cells (lo, C=8) ==="
 for run in local_k2_1 local_k2_2 local_k3_1 local_k3_2; do
   run_cell "$run" --local lo 8 2 0-7
