@@ -179,7 +179,8 @@ def assimilate(
 
     module, params, config = load_score(PATH / f'runs/{run}')
     score = make_trajectory_eps(
-        module, params, config.get('window', 5), chunk=chunk, mesh=mesh
+        module, params, config.get('window', 5), chunk=chunk, mesh=mesh,
+        remat=remat,
     )
 
     if method == 'sda':

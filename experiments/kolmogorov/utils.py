@@ -88,7 +88,8 @@ def load_score(runpath: Path, **kwargs):
 
 
 def make_trajectory_eps(
-    module, params, window: int = 5, chunk: Optional[int] = None, mesh=None
+    module, params, window: int = 5, chunk: Optional[int] = None, mesh=None,
+    remat: bool = False,
 ) -> Callable:
     r"""Composes the trained window kernel into a full-trajectory eps
     function via the Markov-blanket decomposition. ``chunk`` enables the
@@ -103,7 +104,9 @@ def make_trajectory_eps(
             bind_eps(module, params), order=window // 2, mesh=mesh
         )
 
-    return MCScoreNet(bind_eps(module, params), order=window // 2, chunk=chunk)
+    return MCScoreNet(
+        bind_eps(module, params), order=window // 2, chunk=chunk, remat=remat
+    )
 
 
 # -- Visualization (host-side, parity with reference utils.py:84-200) -------

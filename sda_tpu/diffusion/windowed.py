@@ -89,12 +89,29 @@ class MCScoreNet:
             mode: peak activation memory scales with ``chunk`` instead of
             ``L``, trading wall-clock for HBM — the scaling lever for
             127-frame 256^2 trajectories, SURVEY.md §5).
+        remat: Rematerialize each chunk's kernel evaluation
+            (``jax.checkpoint`` *inside* the ``lax.map``). Without this, a
+            VJP through the chunked path — guided sampling — stacks every
+            chunk's kernel activations as scan residuals, so chunking only
+            bounds the forward peak; with it, the backward pass recomputes
+            one chunk at a time and total activation memory really is
+            O(chunk). Implied by guidance when differentiating through a
+            chunked score (``GaussianScore(remat=True)`` alone checkpoints
+            only the outer call, which does not bound the inner map's
+            residuals).
     """
 
-    def __init__(self, kernel: EpsFn, order: int, chunk: Optional[int] = None):
+    def __init__(
+        self,
+        kernel: EpsFn,
+        order: int,
+        chunk: Optional[int] = None,
+        remat: bool = False,
+    ):
         self.kernel = kernel
         self.order = order
         self.chunk = chunk
+        self.remat = remat
 
     def __call__(self, x: Array, t: Array, c: Optional[Array] = None) -> Array:
         x = unfold(x, self.order)
@@ -130,7 +147,10 @@ class MCScoreNet:
         x = x.reshape((batch, num_chunks, chunk) + x.shape[2:])
         x = jnp.moveaxis(x, 1, 0)  # (num_chunks, B, chunk, ...)
 
-        s = jax.lax.map(lambda xc: self.kernel(xc, t, c), x)
+        fn = lambda xc: self.kernel(xc, t, c)
+        if self.remat:
+            fn = jax.checkpoint(fn)
+        s = jax.lax.map(fn, x)
 
         s = jnp.moveaxis(s, 0, 1).reshape(
             (batch, num_chunks * chunk) + s.shape[3:]

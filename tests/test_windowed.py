@@ -134,6 +134,33 @@ def test_chunked_mc_score_jit_and_grad():
     assert np.all(np.isfinite(np.asarray(g)))
 
 
+def test_chunked_remat_matches_plain():
+    r"""Chunk + per-chunk remat (the beyond-HBM mode): values and gradients
+    must match the plain batched path exactly — remat only changes what the
+    VJP stores, not what it computes."""
+
+    def kernel(xw, t, c=None):
+        return jnp.tanh(xw) * (1 + t) + 0.1 * xw**2
+
+    plain = MCScoreNet(kernel, order=2)
+    lever = MCScoreNet(kernel, order=2, chunk=4, remat=True)
+
+    x = jax.random.normal(jax.random.key(7), (2, 17, 3))
+    t = jnp.asarray(0.3)
+
+    np.testing.assert_allclose(
+        np.asarray(plain(x, t)), np.asarray(lever(x, t)), atol=1e-6
+    )
+
+    loss_plain = lambda x: jnp.sum(plain(x, t) ** 2)
+    loss_lever = lambda x: jnp.sum(lever(x, t) ** 2)
+    np.testing.assert_allclose(
+        np.asarray(jax.jit(jax.grad(loss_plain))(x)),
+        np.asarray(jax.jit(jax.grad(loss_lever))(x)),
+        atol=1e-5,
+    )
+
+
 def test_unfold_gradient_flows():
     r"""Guided sampling differentiates through unfold/kernel/fold."""
 
