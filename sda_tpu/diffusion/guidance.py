@@ -49,7 +49,13 @@ class GaussianScore:
         remat: If True, rematerialize the eps network in the guidance VJP
             (``jax.checkpoint``) — trades one extra forward pass for not
             storing the network's activations, the HBM lever for large
-            trajectory shapes (e.g. 127 x 2 x 256 x 256).
+            trajectory shapes (e.g. 127 x 2 x 256 x 256). When the prior eps
+            is a *chunked* :class:`~sda_tpu.diffusion.windowed.MCScoreNet`
+            without per-chunk remat, checkpointing only the outer call does
+            NOT bound memory (the inner ``lax.map`` still stacks every
+            chunk's residuals), so this flag transparently rebuilds the
+            score with ``MCScoreNet(..., remat=True)`` — the combination
+            that actually keeps activation memory O(chunk).
     """
 
     def __init__(
@@ -69,6 +75,26 @@ class GaussianScore:
         self.sde = sde
         self.detach = detach
         self.remat = remat
+
+        if remat:
+            from copy import copy
+
+            from .windowed import MCScoreNet
+
+            inner = sde.eps
+            if (
+                isinstance(inner, MCScoreNet)
+                and inner.chunk is not None
+                and not inner.remat
+            ):
+                # Outer-call checkpointing alone leaves the chunked score's
+                # lax.map residuals stacked (O(L) memory); imply the working
+                # per-chunk lever instead of silently accepting the broken
+                # combination.
+                self.sde = copy(sde)
+                self.sde.eps = MCScoreNet(
+                    inner.kernel, inner.order, chunk=inner.chunk, remat=True
+                )
 
     def __call__(self, x: Array, t: Array, c: Optional[Array] = None) -> Array:
         mu, sigma = self.sde.mu(t), self.sde.sigma(t)

@@ -12,7 +12,6 @@ kernel is per-window independent.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Optional
 
 import jax
@@ -64,7 +63,7 @@ class ShardedMCScoreNet:
             f'chunk length {chunk} must hold a full window (2k+1 = {2 * k + 1})'
         )
 
-        def local_score(x_loc: Array, t: Array) -> Array:
+        def local_score(x_loc: Array, t: Array, c: Optional[Array]) -> Array:
             # x_loc: (B, chunk, C, *spatial) on each device.
             p = jax.lax.axis_index(axis)
 
@@ -105,17 +104,18 @@ class ShardedMCScoreNet:
 
             return out
 
-        if c is not None:
-            kernel = partial(self.kernel, c=c)
-
+        # The context is replicated on every shard (reference semantics:
+        # ``c`` is broadcast to all windows, ``sda/score.py:87``). It rides
+        # through ``shard_map`` as an explicit argument — ``None`` is an
+        # empty pytree, so the same ``P()`` spec covers both cases.
         spec = P(None, self.axis, *([None] * (x.ndim - 2)))
 
         sharded = jax.shard_map(
             local_score,
             mesh=self.mesh,
-            in_specs=(spec, P()),
+            in_specs=(spec, P(), P()),
             out_specs=spec,
             check_vma=False,
         )
 
-        return sharded(x, jnp.asarray(t))
+        return sharded(x, jnp.asarray(t), c)
