@@ -16,15 +16,28 @@ Python-level loop — SURVEY.md §3.1/§3.3/§3.4):
 3. **Data generation** — 128-step 256^2 spectral NS trajectories; reference
    budget 300 s/trajectory on one CPU (``generate.py:16-26``).
 
-``value``/``vs_baseline`` (the headline) belong to the flagship sampler:
-``vs_baseline`` divides the reference's *only* stated envelope for guided
-sampling — the 1 h Slurm budget per Lorenz eval unit scaled to this workload
-is not comparable, so we use the measured per-sample wall clock of this exact
-scenario under the reference's published setup shape (256 steps x 2 evals of
-a (96,192,384) U-Net per sample-step, assuming the reference's single-stream
-launch pattern at our measured per-eval cost) — i.e. the structural speedup
-of fusing the loop: (evals x t_eval_unfused) / t_fused, a *lower bound* on
-the true torch-vs-TPU ratio. FLOP/s numbers come from XLA cost analysis.
+FLOP accounting is ANALYTIC (``sda_tpu/nn/flops.py``): per-layer conv/dense
+MAC counts of the exact architecture in ``unet_0/config.json``, x windows
+x batch x sampler evals, with a 2.0x forward+VJP multiplier (state-only
+gradients: weight-cotangent convs are dead code under sampling — measured
+2.02x by XLA on CPU, ``tests/test_flops.py``). The axon backend's
+``cost_analysis()`` does not count convolutions (it reported ~300x too few
+FLOPs in round 2); it is still printed as ``sampler_tflops_xla_cost`` so the
+discrepancy stays visible.
+
+``value``/``vs_baseline`` (the headline) belong to the flagship sampler.
+``vs_baseline`` is the measured end-to-end ratio against the UNMODIFIED
+torch reference sampler running this scenario on the only hardware it can
+run on in this environment — this host's CPU, single thread
+(``tools/ref_harness/bench_ref_cpu.py`` measures the reference's per-eval
+wall at the production architecture and a window-count-scaled shape; both
+frameworks batch the window axis, so per-eval cost scales linearly in
+windows x batch). Supporting ratios: ``framework_speedup_same_host`` (both
+frameworks on the SAME CPU — isolates the fused-scan-vs-eager-loop effect
+from hardware) and ``fusion_speedup`` (same chip, one-launch-per-eval vs
+fused — the structural lower bound). The MFU figure bounds what any rival
+TPU implementation could gain: at X% MFU no implementation can be more than
+100/X x faster on this chip.
 """
 
 import argparse
@@ -99,7 +112,12 @@ def bench_sampler(smoke: bool = False):
         sys.path.insert(0, str(Path(__file__).parent / 'experiments/kolmogorov'))
         from utils import load_score
 
-        module, params, _ = load_score(runpath)
+        module, params, config = load_score(runpath)
+        arch = {
+            k: config[k]
+            for k in ('embedding', 'hidden_channels', 'hidden_blocks', 'kernel_size')
+            if k in config
+        }
     else:
         params = module.init(
             jax.random.key(0), np.zeros((1, window * 2, 64, 64), np.float32), np.ones(())
@@ -130,9 +148,24 @@ def bench_sampler(smoke: bool = False):
     t1 = time.perf_counter()
     wall = t1 - t0
 
-    flops = compiled_flops(sample, jax.random.key(3), y)
-
     n_evals = steps * (1 + corrections)
+    n_windows = length - 2 * (window // 2)
+
+    # Analytic FLOPs of the program (sda_tpu/nn/flops.py; the x2 VJP
+    # multiplier is validated in tests/test_flops.py).
+    from sda_tpu.nn.flops import guided_sampler_flops, score_unet_flops
+
+    per_window = score_unet_flops(
+        channels=window * 2, context_channels=1, size=64, **arch
+    )
+    flops = guided_sampler_flops(
+        per_window, n_windows=n_windows, batch=batch,
+        steps=steps, corrections=corrections,
+    )
+
+    # Cross-check only: the axon backend's cost analysis does NOT count
+    # convolutions (round-2 bug) — kept visible, never used for MFU.
+    xla_flops = compiled_flops(sample, jax.random.key(3), y)
 
     # Per-eval cost of the same guided score (forward + guidance VJP) when
     # launched stand-alone — the reference's structural pattern (one launch
@@ -154,14 +187,31 @@ def bench_sampler(smoke: bool = False):
     t3 = time.perf_counter()
     t_eval = (t3 - t2) / reps
 
-    return {
+    result = {
         'sampler_wall_s': round(wall, 3),
         'sampler_evals_per_s': round(n_evals / wall, 2),
-        'sampler_tflops': round(flops / wall / 1e12, 2) if flops else None,
-        'sampler_mfu_pct': round(100 * flops / wall / chip_peak_flops(), 2) if flops else None,
+        'sampler_pflop_analytic': round(flops / 1e15, 3),
+        'sampler_tflops': round(flops / wall / 1e12, 1),
+        'sampler_mfu_pct': round(100 * flops / wall / chip_peak_flops(), 1),
+        'sampler_tflops_xla_cost': round(xla_flops / wall / 1e12, 2) if xla_flops else None,
         'sampler_unfused_eval_ms': round(1e3 * t_eval, 2),
         'fusion_speedup': round(n_evals * t_eval / wall, 2),
     }
+
+    # End-to-end ratio vs the measured torch reference (same scenario,
+    # per-eval wall from tools/ref_harness/bench_ref_cpu.py, scaled
+    # linearly in windows x batch — both frameworks batch the window axis).
+    from pathlib import Path
+
+    ref_json = Path(__file__).parent / 'tools/ref_harness/out/bench_ref_cpu.json'
+    if ref_json.exists() and not smoke:
+        ref = json.loads(ref_json.read_text())
+        ref_eval = ref['ref_per_eval_per_window_batch_s'] * n_windows * batch
+        result['ref_cpu_wall_s_extrapolated'] = round(ref_eval * n_evals, 1)
+        result['vs_torch_ref_same_host'] = round(ref_eval * n_evals / wall, 1)
+        result['framework_speedup_same_host'] = ref['framework_speedup_same_host']
+
+    return result
 
 
 def bench_train_step(smoke: bool = False):
@@ -286,9 +336,15 @@ def main():
             '256 steps x 1 correction, coarse 8x/4-frame observations, '
             'fused sampler on one chip'
         ),
-        # Structural fusion speedup vs one-launch-per-eval on the same chip
-        # (lower bound on the torch-reference ratio).
-        'vs_baseline': sampler['fusion_speedup'],
+        # Measured end-to-end ratio vs the unmodified torch reference
+        # sampler on this host (its only runtime here — single-thread CPU;
+        # per-eval wall measured at the production architecture, scaled
+        # linearly in windows x batch). Falls back to the same-chip fusion
+        # speedup (a strict lower bound) when the reference measurement is
+        # absent. See module docstring for why each ratio is what it is.
+        'vs_baseline': sampler.get(
+            'vs_torch_ref_same_host', sampler['fusion_speedup']
+        ),
         **sampler,
         **train,
         **datagen,

@@ -15,9 +15,10 @@ any violation.
    it. The forcing scale instead shows in the *enstrophy* spectrum
    Z(k) = k^2 E(k), whose peak must sit within [2, 8] (forcing wavenumber 4
    within a factor 2). E(k) must also decay at least as fast as the k^-3
-   enstrophy-cascade slope from its low-k maximum to the last resolvable
-   wavenumber (no spectral pile-up); the required orders of magnitude scale
-   with resolution (~6 at 256^2).
+   enstrophy-cascade slope from its low-k maximum to the 2/3-rule
+   dealiasing cutoff — the last physically resolved wavenumber (no spectral
+   pile-up); the required orders of magnitude scale with resolution
+   (3 log10(k_cut/4), ~4 at 256^2).
 3. CFL honesty: the substep was sized from max_velocity = 5 with Courant 0.5
    (reference sda/mcs.py:274-284) — half the advective stability margin of
    the IF-RK3 stepper. Instantaneous speeds may exceed 5 in the turbulent
@@ -83,6 +84,7 @@ def main(size: int = 256, spinup: int = 64, window: int = 64, ensemble: int = 4)
 
     centers, spectrum = energy_spectrum(chain, xs[-1])
     enstrophy_spectrum = centers**2 * spectrum
+    k_cut = (2.0 / 3.0) * (size // 2)  # 2/3-rule dealiasing cutoff
 
     half = window // 2
     report = {
@@ -94,14 +96,22 @@ def main(size: int = 256, spinup: int = 64, window: int = 64, ensemble: int = 4)
         'max_speed': float(speed.max()),
         'spectrum_peak_k': float(centers[np.argmax(spectrum)]),
         'enstrophy_peak_k': float(centers[np.argmax(enstrophy_spectrum)]),
+        # Decay is measured at the 2/3-rule dealiasing cutoff (~0.85 at
+        # 256^2) — the last *physically resolved* wavenumber. Bins beyond it
+        # hold only truncation-suppressed energy, which would inflate the
+        # measured decay for free.
         'spectrum_decay_orders': float(
-            np.log10(spectrum[centers < 8].max() / max(spectrum[-8:].mean(), 1e-30))
+            np.log10(
+                spectrum[centers < 8].max()
+                / max(spectrum[(centers >= 0.85 * k_cut) & (centers < k_cut)].mean(), 1e-30)
+            )
         ),
-        # The enstrophy-cascade slope is k^-3: over the resolvable range
-        # [forcing scale, dealiasing cutoff] the spectrum must fall at least
-        # that fast. A fixed threshold would be resolution-dependent (the
-        # cutoff grows with size); 6 orders corresponds to 256^2.
-        'spectrum_decay_required': float(3.0 * np.log10(centers[-1] / 4.0)),
+        # The enstrophy-cascade slope is k^-3: from the forcing scale (k=4)
+        # to the dealiasing cutoff the spectrum must fall at least that
+        # fast. A fixed threshold would be resolution-dependent (the cutoff
+        # grows with size); 3 log10(k_cut/4) is ~4.0 orders at 256^2
+        # (k_cut ~ 85) and ~3.1 at 64^2.
+        'spectrum_decay_required': float(3.0 * np.log10(k_cut / 4.0)),
         'finite': bool(np.all(np.isfinite(np.asarray(xs)))),
     }
 

@@ -144,21 +144,48 @@ def seed_spread(families=('local_k1', 'local_k2', 'local_k3', 'local_k4', 'globa
     """
 
     rows = load_stats(freq)
-    indices = sorted({
-        r['index'] for r in rows
-        if r['run'] == f'{families[0]}_{seeds[1]}' and r['corrections'] == C
-    })
-    print(f'\n### seed spread — {freq}, C={C}, median W1 over indices '
-          f'{indices} (3 training seeds)\n')
+
+    # Common index set = intersection over every (family, seed) pair that
+    # has any rows at this cell; families with no seed evaluated here are
+    # dropped (reported), never silently compared over unequal index sets.
+    index_sets = {}
+    for fam in families:
+        for s in seeds:
+            idx = {
+                r['index'] for r in rows
+                if r['run'] == f'{fam}_{s}' and r['corrections'] == C
+            }
+            if idx:
+                index_sets[(fam, s)] = idx
+
+    evaluated_families = [
+        fam for fam in families if any(f == fam for f, _ in index_sets)
+    ]
+    if not index_sets:
+        print(f'\nseed spread — {freq}, C={C}: no evaluated (family, seed) '
+              'pairs in the CSVs; skipping.')
+        return
+
+    indices = set.intersection(*index_sets.values())
+    if not indices:
+        print(f'\nseed spread — {freq}, C={C}: evaluated index sets are '
+              'disjoint across seeds; skipping (refusing to compare seeds '
+              'over different indices).')
+        return
+
+    print(f'\n### seed spread — {freq}, C={C}, median W1 over the '
+          f'{len(indices)} indices common to all evaluated (family, seed) '
+          f'pairs (3 training seeds)\n')
     print('| model | W1 per seed | mean ± spread |')
     print('|---|---|---|')
-    for fam in families:
+    printed = False
+    for fam in evaluated_families:
         per_seed = []
         for s in seeds:
             sel = [
                 r['w1'] for r in rows
                 if r['run'] == f'{fam}_{s}' and r['corrections'] == C
-                and (not indices or r['index'] in indices)
+                and r['index'] in indices
             ]
             if sel:
                 per_seed.append(float(np.median(sel)))
@@ -168,6 +195,9 @@ def seed_spread(families=('local_k1', 'local_k2', 'local_k3', 'local_k4', 'globa
         spread = (max(per_seed) - min(per_seed)) / 2
         cells = ', '.join(f'{v:.2f}' for v in per_seed)
         print(f'| {fam} | {cells} | {mean:.2f} ± {spread:.2f} |')
+        printed = True
+    if not printed:
+        print('| (no rows) | — | — |')
 
 
 if __name__ == '__main__':
@@ -176,7 +206,19 @@ if __name__ == '__main__':
         '--runs', type=str,
         default='local_k1_0,local_k2_0,local_k3_0,local_k4_0,global_0',
     )
+    parser.add_argument('--spread-c', type=int, default=8,
+                        help='corrections cell for the seed-spread table')
+    parser.add_argument('--spread-freq', type=str, default='lo')
     args = parser.parse_args()
 
-    main(args.runs.split(','))
-    seed_spread()
+    runs = args.runs.split(',')
+    main(runs)
+
+    # Seed spread over the families named in --runs (strip the seed suffix)
+    # instead of a hard-coded list, so absent runs are never tabulated.
+    families = []
+    for r in runs:
+        fam = r.rsplit('_', 1)[0]
+        if fam not in families:
+            families.append(fam)
+    seed_spread(tuple(families), C=args.spread_c, freq=args.spread_freq)
