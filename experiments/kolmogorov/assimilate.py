@@ -159,6 +159,7 @@ def assimilate(
     offset: int = 0,
     mesh: str = None,
     length: int = None,
+    save: bool = False,
 ):
     rng = np.random.RandomState(seed)
 
@@ -211,6 +212,16 @@ def assimilate(
         label = f'subsample_{offset}s{stride}' if offset else f'subsample_s{stride}'
     print(f'{label}[{method}]: residual std = {residual:.4f} (obs std = {std})')
 
+    if save:
+        suffix = '' if method == 'sda' else f'_{method}'
+        out = PATH / f'results/samples_{label}_{run}{suffix}.npz'
+        out.parent.mkdir(parents=True, exist_ok=True)
+        np.savez_compressed(
+            out, xs=np.asarray(xs, np.float32),
+            x_star=np.asarray(x_star[:length], np.float32),
+        )
+        print(f'saved {out}')
+
     if render:
         from utils import draw
 
@@ -245,7 +256,7 @@ def assimilate(
             draw(w).save(out)
             print(f'rendered {out} (row 0: sampled, row 1: re-simulated)')
 
-    return residual, std
+    return residual, std, xs
 
 
 if __name__ == '__main__':
@@ -279,6 +290,8 @@ if __name__ == '__main__':
                         help='loop scenario: trajectory length override')
     parser.add_argument('--no-render', dest='render', action='store_false',
                         default=True)
+    parser.add_argument('--save', action='store_true',
+                        help='save posterior samples + truth to results/*.npz')
     args = parser.parse_args()
 
     assimilate(
@@ -287,5 +300,5 @@ if __name__ == '__main__':
         render=args.render,
         chunk=args.chunk, remat=args.remat, method=args.method,
         stride=args.stride, offset=args.offset, mesh=args.mesh,
-        length=args.length,
+        length=args.length, save=args.save,
     )
