@@ -45,10 +45,10 @@ def sandwich_figures(frames: int = 9) -> None:
     draw(w[: side * side].reshape(side, side, *w.shape[-2:]), zoom=4).save(
         out / 'data_montage.png'
     )
-    sandwich(w, mirror=True).save(out / 'sandwich.png')
+    sandwich(w, mirror=True, zoom=3).save(out / 'sandwich.png')
 
     rng = np.random.RandomState(0)
-    sandwich(0.7 * w + 0.4 * rng.standard_normal(w.shape)).save(
+    sandwich(0.7 * w + 0.4 * rng.standard_normal(w.shape), zoom=3).save(
         out / 'sandwich_noisy.png'
     )
     print(f'sandwich figures -> {out}/[data_montage|sandwich|sandwich_noisy].png')
@@ -82,7 +82,7 @@ def assimilation_figures(gif_dt: float = 0.2) -> None:
         draw(w_post, zoom=4).save(out / f'posterior_{name}.png')
 
         w_traj = np.asarray(chain.vorticity(xs[0]))
-        save_gif(w_traj, out / f'assim_{name}.gif', dt=gif_dt)
+        save_gif(w_traj, out / f'assim_{name}.gif', dt=gif_dt, zoom=2)
 
         print(f'{name}: truth/posterior montages + GIF ({xs.shape[0]} samples, '
               f'{xs.shape[1]} frames)')

@@ -57,13 +57,17 @@ def draw(w, mask=None, pad: int = 4, zoom: int = 1, **kwargs):
     return Image.fromarray(canvas)
 
 
-def sandwich(w, offset: int = 5, border: int = 1, mirror: bool = False, **kwargs):
+def sandwich(w, offset: int = 5, border: int = 1, mirror: bool = False,
+             zoom: int = 1, **kwargs):
     r"""Diagonally-stacked rendering of a trajectory, later frames in front
     with a white border. Pure-numpy compositing."""
 
     from PIL import Image
 
     w = vorticity2rgb(w, **kwargs)
+    if zoom > 1:
+        w = w.repeat(zoom, axis=1).repeat(zoom, axis=2)
+        offset, border = zoom * offset, zoom * border
     n, h, width, _ = w.shape
 
     if mirror:
@@ -86,12 +90,15 @@ def sandwich(w, offset: int = 5, border: int = 1, mirror: bool = False, **kwargs
     return Image.fromarray(canvas)
 
 
-def save_gif(w, file: Path, dt: float = 0.2, **kwargs) -> None:
-    r"""Animated GIF of a vorticity trajectory."""
+def save_gif(w, file: Path, dt: float = 0.2, zoom: int = 1, **kwargs) -> None:
+    r"""Animated GIF of a vorticity trajectory (reference
+    ``experiments/kolmogorov/utils.py:184-200``)."""
 
     from PIL import Image
 
     w = vorticity2rgb(w, **kwargs)
+    if zoom > 1:
+        w = w.repeat(zoom, axis=1).repeat(zoom, axis=2)
 
     imgs = [Image.fromarray(frame) for frame in w]
     imgs[0].save(
