@@ -32,12 +32,17 @@ run on in this environment — this host's CPU, single thread
 (``tools/ref_harness/bench_ref_cpu.py`` measures the reference's per-eval
 wall at the production architecture and a window-count-scaled shape; both
 frameworks batch the window axis, so per-eval cost scales linearly in
-windows x batch). Supporting ratios: ``framework_speedup_same_host`` (both
-frameworks on the SAME CPU — isolates the fused-scan-vs-eager-loop effect
-from hardware) and ``fusion_speedup`` (same chip, one-launch-per-eval vs
-fused — the structural lower bound). The MFU figure bounds what any rival
-TPU implementation could gain: at X% MFU no implementation can be more than
-100/X x faster on this chip.
+windows x batch). Supporting ratios: ``fusion_speedup`` (same chip,
+one-launch-per-eval vs fused — the structural effect with the conv kernels
+held fixed) and ``framework_speedup_same_host`` (both frameworks on the
+SAME CPU; measured 0.25 — on CPU this measures torch's oneDNN conv kernels
+vs XLA:CPU codegen, not sampler structure, see
+``tools/ref_harness/bench_ref_cpu.py`` — reported for honesty, not used as
+a headline). The MFU figure bounds what any rival TPU implementation could
+gain: at X% MFU no implementation can be more than 100/X x faster on this
+chip; symmetrically, for the torch reference to match this chip's measured
+88.8 TFLOP/s it would need >28% sustained MFU on an A100 — eager per-step
+sampling with autograd re-entry does not reach that.
 """
 
 import argparse

@@ -3,11 +3,20 @@ r"""Same-host head-to-head: the UNMODIFIED reference guided sampler (torch,
 ``/root/reference/sda/score.py``) vs our fused JAX sampler, identical
 scenario, identical hardware (this host's CPU, single thread).
 
-This isolates *framework* efficiency — the reference's Python-level sampler
-loop with autograd re-entry per step (``sda/score.py:249-261,375-396``)
-against our single fused ``lax.scan`` program — with the hardware variable
-removed. ``bench.py`` reads the JSON this writes and combines it with the
-TPU wall clock for the end-to-end ``vs_baseline`` ratio.
+Primary purpose: measure the reference's per-eval cost at the production
+architecture so ``bench.py`` can combine it with the TPU wall clock into
+the end-to-end ``vs_baseline`` ratio.
+
+Caveat on the secondary ``framework_speedup_same_host`` number (measured
+0.25, i.e. our sampler is ~4x SLOWER than torch on this CPU): on CPU the
+comparison measures conv-library quality, not framework structure —
+torch's oneDNN/MKL conv kernels are far better tuned for x86 than
+XLA:CPU's codegen, and that gap swamps the fused-scan-vs-eager-loop
+effect this script was meant to isolate. The structural effect is visible
+on the TPU instead (``fusion_speedup`` in bench.py, same chip, same XLA
+kernels either way), and the absolute TPU efficiency is pinned by the
+analytic-FLOP MFU. The CPU number is kept because it is a measurement;
+it is labeled for what it is.
 
 Measurement scenario (scaled down so single-core torch finishes in minutes;
 both frameworks batch the window axis, so per-eval cost scales linearly in
@@ -48,7 +57,7 @@ ARCH = dict(
     hidden_channels=(96, 192, 384),
     hidden_blocks=(3, 3, 3),
     kernel_size=3,
-    activation='SiLU',
+    activation=torch.nn.SiLU,
     spatial=2,
     padding_mode='circular',
 )
@@ -75,7 +84,9 @@ class RefLocalScoreUNet(RefScoreUNet):
 
 def bench_reference():
     torch.manual_seed(0)
-    score = RefMCScoreNet(channels=2, order=WINDOW // 2)
+    # (features, context, order) signature, sda/score.py:122; the throwaway
+    # default kernel is immediately replaced by the forcing-channel U-Net.
+    score = RefMCScoreNet(features=2, order=WINDOW // 2)
     score.kernel = RefLocalScoreUNet(channels=WINDOW * 2, **ARCH)
 
     A = lambda x: torch_coarsen(x[..., ::4, :, :, :], 8)
