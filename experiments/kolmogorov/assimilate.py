@@ -160,6 +160,7 @@ def assimilate(
     mesh: str = None,
     length: int = None,
     save: bool = False,
+    solver: str = 'ddim',
 ):
     rng = np.random.RandomState(seed)
 
@@ -203,7 +204,8 @@ def assimilate(
     sde = VPSDE(eps=guided, shape=(length, 2, 64, 64))
 
     key = jax.random.key(seed)
-    xs = sde.sample(key, (samples,), steps=steps, corrections=corrections, tau=tau)
+    xs = sde.sample(key, (samples,), steps=steps, corrections=corrections,
+                    tau=tau, solver=solver)
 
     # Posterior-consistency check (reference figures.ipynb cells 11/18/25).
     residual = float(jnp.std(A(xs) - y))
@@ -292,6 +294,9 @@ if __name__ == '__main__':
                         default=True)
     parser.add_argument('--save', action='store_true',
                         help='save posterior samples + truth to results/*.npz')
+    parser.add_argument('--solver', default='ddim', choices=['ddim', 'dpm2m'],
+                        help='predictor: reference-parity ddim or the '
+                             'second-order multistep dpm2m (same cost/step)')
     args = parser.parse_args()
 
     assimilate(
@@ -300,5 +305,5 @@ if __name__ == '__main__':
         render=args.render,
         chunk=args.chunk, remat=args.remat, method=args.method,
         stride=args.stride, offset=args.offset, mesh=args.mesh,
-        length=args.length, save=args.save,
+        length=args.length, save=args.save, solver=args.solver,
     )

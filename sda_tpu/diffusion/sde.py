@@ -152,6 +152,7 @@ class VPSDE:
         corrections: int = 0,
         tau: float = 1.0,
         eps: Optional[EpsFn] = None,
+        solver: str = 'ddim',
     ) -> Array:
         r"""Samples from :math:`p(x(0))` with a predictor–corrector loop.
 
@@ -163,6 +164,19 @@ class VPSDE:
         - corrector (``corrections`` Langevin steps at ``t-dt``):
           ``x <- x - (delta eps + sqrt(2 delta) z) sigma(t-dt)`` with adaptive
           ``delta = tau / mean(eps^2)`` over the event axes.
+
+        Beyond reference parity, ``solver='dpm2m'`` upgrades the predictor to
+        a second-order *multistep* exponential integrator (DPM-Solver-2M,
+        Lu et al. 2022, in the eps parametrization): the previous network
+        evaluation rides in the scan carry, so each step still costs ONE
+        eval but the local error drops from :math:`O(h^2)` to :math:`O(h^3)`
+        in the log-SNR step :math:`h` — equal-fidelity sampling at a
+        fraction of the reference's 256-step budget. With
+        :math:`\lambda = \log(\mu/\sigma)` and
+        :math:`h_i = \lambda_{i+1} - \lambda_i`, the step applies the DDIM
+        formula to the extrapolated estimate
+        :math:`\hat\epsilon = (1 + w)\,\epsilon_i - w\,\epsilon_{i-1}` with
+        :math:`w = h_i / 2 h_{i-1}` (first step: :math:`w = 0`).
 
         Unlike the reference's Python loop, the full loop (including the
         guidance VJP when ``eps`` wraps a :class:`GaussianScore`) is one
@@ -176,7 +190,12 @@ class VPSDE:
             corrections: The number of Langevin corrections per time step.
             tau: The amplitude of Langevin steps.
             eps: Optional override of the bound noise estimator.
+            solver: ``'ddim'`` (first order, reference parity) or
+                ``'dpm2m'`` (second-order multistep, same cost per step).
         """
+
+        if solver not in ('ddim', 'dpm2m'):
+            raise ValueError(f"unknown solver '{solver}'")
 
         eps_fn = self.eps if eps is None else eps
         shape = tuple(shape)
@@ -188,6 +207,9 @@ class VPSDE:
 
         dt = 1.0 / steps
         time = jnp.linspace(1.0, 0.0, steps + 1)[:-1]
+
+        def lam(t):
+            return jnp.log(self.mu(t) / self.sigma(t))
 
         def corrector(_, carry):
             x, key, t = carry
@@ -202,11 +224,22 @@ class VPSDE:
             return (x, key, t)
 
         def step(carry, t):
-            x, key = carry
+            x, key, e_prev, h_prev = carry
 
-            # Predictor
+            e = eps_fn(x, t, c)
+
+            # Second-order multistep extrapolation (w = 0 on the first
+            # step because h_prev initializes to +inf).
+            h = lam(t - dt) - lam(t)
+            if solver == 'dpm2m':
+                w = h / (2 * h_prev)
+                e_hat = (1 + w) * e - w * e_prev
+            else:
+                e_hat = e
+
+            # Predictor (exponential-integrator step).
             r = self.mu(t - dt) / self.mu(t)
-            x = r * x + (self.sigma(t - dt) - r * self.sigma(t)) * eps_fn(x, t, c)
+            x = r * x + (self.sigma(t - dt) - r * self.sigma(t)) * e_hat
 
             # Corrector
             if corrections > 0:
@@ -214,9 +247,10 @@ class VPSDE:
                     0, corrections, corrector, (x, key, t)
                 )
 
-            return (x, key), None
+            return (x, key, e, h), None
 
-        (x, _), _ = jax.lax.scan(step, (x, key_scan), time)
+        carry = (x, key_scan, jnp.zeros_like(x), jnp.asarray(jnp.inf, dtype=time.dtype))
+        (x, _, _, _), _ = jax.lax.scan(step, carry, time)
 
         return x.reshape(shape + self.shape)
 
