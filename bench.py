@@ -16,6 +16,12 @@ Python-level loop — SURVEY.md §3.1/§3.3/§3.4):
 3. **Data generation** — 128-step 256^2 spectral NS trajectories; reference
    budget 300 s/trajectory on one CPU (``generate.py:16-26``).
 
+The flagship runs at the trained checkpoint's compute dtype — the
+production runs carry ``bf16: true`` (network compute bf16, params and
+guidance Tweedie/VJP f32), so ``sampler_*`` is the bf16-compute program and
+``sampler_f32_*`` is the measured f32-compute variant (``bf16_speedup`` =
+f32 wall / bf16 wall; ``sampler_residual*`` gates quality for both).
+
 FLOP accounting is ANALYTIC (``sda_tpu/nn/flops.py``): per-layer conv/dense
 MAC counts of the exact architecture in ``unet_0/config.json``, x windows
 x batch x sampler evals, with a 2.0x forward+VJP multiplier (state-only
@@ -128,22 +134,29 @@ def bench_sampler(smoke: bool = False):
             jax.random.key(0), np.zeros((1, window * 2, 64, 64), np.float32), np.ones(())
         )['params']
 
-    kernel = bind_eps(module, params)
-    score = MCScoreNet(kernel, order=window // 2)
-
     # Scenario: 8x coarsen, every 4th frame (figures.ipynb cells 9-10).
     A = lambda x: coarsen(x[..., ::4, :, :, :], 8)
     y = jax.random.normal(jax.random.key(1), (length // 4, 2, 8, 8)) * 0.1
 
-    def sample(key, y):
-        sde = VPSDE(
-            eps=GaussianScore(
-                y=y, A=A, std=0.1, sde=VPSDE(eps=score, shape=()), gamma=1e-2
-            ),
-            shape=(length, 2, 64, 64),
-        )
-        return sde.sample(key, (batch,), steps=steps, corrections=corrections, tau=0.5)
+    score = MCScoreNet(bind_eps(module, params), order=window // 2)
 
+    def make_sample(mod):
+        score = MCScoreNet(bind_eps(mod, params), order=window // 2)
+
+        def sample(key, y):
+            sde = VPSDE(
+                eps=GaussianScore(
+                    y=y, A=A, std=0.1, sde=VPSDE(eps=score, shape=()), gamma=1e-2
+                ),
+                shape=(length, 2, 64, 64),
+            )
+            return sde.sample(
+                key, (batch,), steps=steps, corrections=corrections, tau=0.5
+            )
+
+        return sample
+
+    sample = make_sample(module)
     fn = jax.jit(sample)
     out = jax.block_until_ready(fn(jax.random.key(2), y))
     assert np.all(np.isfinite(np.asarray(out))), 'sampler produced non-finite states'
@@ -152,6 +165,33 @@ def bench_sampler(smoke: bool = False):
     out = jax.block_until_ready(fn(jax.random.key(3), y))
     t1 = time.perf_counter()
     wall = t1 - t0
+
+    # Opposite-compute-dtype variant. The trained runs carry ``bf16: true``
+    # in config.json, so the primary measurement above is ALREADY the
+    # bf16-compute module (params and the guidance Tweedie/VJP stay f32,
+    # `assimilate.py --bf16` semantics) — the variant then measures f32
+    # compute to quantify what bf16 buys. With random init (smoke) the
+    # primary is f32 and the variant is bf16. Same analytic FLOPs; the
+    # observation residual is the quality gate for both. Guarded: a backend
+    # that rejects the variant must not sink the whole benchmark.
+    primary_bf16 = module.dtype == jax.numpy.bfloat16
+    variant_name = 'f32' if primary_bf16 else 'bf16'
+    variant_dtype = None if primary_bf16 else jax.numpy.bfloat16
+    wall_v = out_v = None
+    try:
+        fn_v = jax.jit(make_sample(module.clone(dtype=variant_dtype)))
+        out_v = jax.block_until_ready(fn_v(jax.random.key(2), y))
+        assert np.all(np.isfinite(np.asarray(out_v))), 'variant sampler non-finite'
+
+        t0 = time.perf_counter()
+        out_v = jax.block_until_ready(fn_v(jax.random.key(3), y))
+        t1 = time.perf_counter()
+        wall_v = t1 - t0
+    except Exception as err:
+        log(f'{variant_name} sampler variant unavailable: {err}')
+
+    def residual(x):
+        return float(jax.numpy.std(A(x.reshape((batch, length, 2, 64, 64))) - y))
 
     n_evals = steps * (1 + corrections)
     n_windows = length - 2 * (window // 2)
@@ -201,7 +241,18 @@ def bench_sampler(smoke: bool = False):
         'sampler_tflops_xla_cost': round(xla_flops / wall / 1e12, 2) if xla_flops else None,
         'sampler_unfused_eval_ms': round(1e3 * t_eval, 2),
         'fusion_speedup': round(n_evals * t_eval / wall, 2),
+        'sampler_compute_dtype': 'bf16' if primary_bf16 else 'f32',
+        'sampler_residual': round(residual(out), 4),
     }
+    if wall_v is not None:
+        result[f'sampler_{variant_name}_wall_s'] = round(wall_v, 3)
+        result[f'sampler_{variant_name}_tflops'] = round(flops / wall_v / 1e12, 1)
+        result[f'sampler_{variant_name}_mfu_pct'] = round(
+            100 * flops / wall_v / chip_peak_flops(), 1
+        )
+        result[f'sampler_residual_{variant_name}'] = round(residual(out_v), 4)
+        wall_f32, wall_bf16 = (wall_v, wall) if primary_bf16 else (wall, wall_v)
+        result['bf16_speedup'] = round(wall_f32 / wall_bf16, 2)
 
     # End-to-end ratio vs the measured torch reference (same scenario,
     # per-eval wall from tools/ref_harness/bench_ref_cpu.py, scaled

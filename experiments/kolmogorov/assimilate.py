@@ -161,6 +161,7 @@ def assimilate(
     length: int = None,
     save: bool = False,
     solver: str = 'ddim',
+    bf16: bool = None,
 ):
     rng = np.random.RandomState(seed)
 
@@ -179,7 +180,12 @@ def assimilate(
         axes = {k: int(v) for k, v in (kv.split('=') for kv in mesh.split(','))}
         mesh = make_mesh(axes)
 
-    module, params, config = load_score(PATH / f'runs/{run}')
+    # Compute-dtype override (None = follow the run's config.json, whose
+    # production value is bf16: network compute bf16, params and the
+    # guidance Tweedie/VJP math f32). --f32 forces full f32 for apples-to-
+    # apples precision checks; the residual printed below is the gate.
+    override = {} if bf16 is None else {'bf16': bf16}
+    module, params, config = load_score(PATH / f'runs/{run}', **override)
     score = make_trajectory_eps(
         module, params, config.get('window', 5), chunk=chunk, mesh=mesh,
         remat=remat,
@@ -297,6 +303,12 @@ if __name__ == '__main__':
     parser.add_argument('--solver', default='ddim', choices=['ddim', 'dpm2m'],
                         help='predictor: reference-parity ddim or the '
                              'second-order multistep dpm2m (same cost/step)')
+    parser.add_argument('--bf16', dest='bf16', action='store_true',
+                        default=None,
+                        help='force bf16 network compute (default: follow '
+                             'the run config; params/guidance stay f32)')
+    parser.add_argument('--f32', dest='bf16', action='store_false',
+                        help='force full-f32 network compute')
     args = parser.parse_args()
 
     assimilate(
@@ -306,4 +318,5 @@ if __name__ == '__main__':
         chunk=args.chunk, remat=args.remat, method=args.method,
         stride=args.stride, offset=args.offset, mesh=args.mesh,
         length=args.length, save=args.save, solver=args.solver,
+        bf16=args.bf16,
     )

@@ -115,3 +115,42 @@ def test_kolmogorov_viz_outputs():
 
     img = kolmogorov_utils.sandwich(np.random.randn(3, 16, 16))
     assert img.size == (16 + 2 * 5, 16 + 2 * 5)
+
+
+def test_load_score_dtype_override(tmp_path):
+    r"""``load_score``'s compute dtype follows config.json unless explicitly
+    overridden — a caller that always passed ``bf16=False`` would silently
+    force f32 on the bf16-trained production runs (the `assimilate.py`
+    --bf16/--f32 flags are tri-state for exactly this reason)."""
+
+    from sda_tpu.train import save_params
+    from sda_tpu.utils import save_config
+
+    config = dict(
+        window=3, embedding=8, hidden_channels=[8], hidden_blocks=[1],
+        kernel_size=3, activation='SiLU', size=16, bf16=True,
+    )
+    runpath = tmp_path / 'unet_t'
+    runpath.mkdir()
+    save_config(config, runpath)
+
+    module = kolmogorov_utils.make_score(**config)
+    params = kolmogorov_utils.init_score(module)
+    save_params(params, runpath / 'state.msgpack')
+
+    # Default: follow config (bf16-trained run loads as bf16 compute).
+    m_default, p_default, _ = kolmogorov_utils.load_score(runpath)
+    assert m_default.dtype == jnp.bfloat16
+
+    # Explicit overrides win in both directions.
+    m_f32, _, _ = kolmogorov_utils.load_score(runpath, bf16=False)
+    assert m_f32.dtype is None
+    m_bf16, _, _ = kolmogorov_utils.load_score(runpath, bf16=True)
+    assert m_bf16.dtype == jnp.bfloat16
+
+    # Both compute dtypes run the same f32 params and agree to bf16 accuracy.
+    x = jax.random.normal(jax.random.key(0), (2, 6, 16, 16))
+    t = jnp.full((2,), 0.4)
+    out32 = np.asarray(m_f32.apply({'params': p_default}, x, t))
+    out16 = np.asarray(m_default.apply({'params': p_default}, x, t))
+    np.testing.assert_allclose(out16, out32, atol=0.1 * np.abs(out32).max())
