@@ -79,12 +79,14 @@ def chip_peak_flops() -> float:
     return 197e12  # conservative default
 
 
-def compiled_flops(fn, *args) -> float:
-    r"""FLOP count of a jitted function from XLA cost analysis (0 if the
-    backend does not expose it)."""
+def compiled_flops(jitted, *args) -> float:
+    r"""FLOP count of an already-jitted function from XLA cost analysis
+    (0 if the backend does not expose it). Takes the jit wrapper that
+    already ran, so the lowering hits the persistent compilation cache
+    instead of compiling the program a second time through the tunnel."""
 
     try:
-        analysis = jax.jit(fn).lower(*args).compile().cost_analysis()
+        analysis = jitted.lower(*args).compile().cost_analysis()
         if isinstance(analysis, (list, tuple)):
             analysis = analysis[0]
         return float(analysis.get('flops', 0.0))
@@ -210,7 +212,7 @@ def bench_sampler(smoke: bool = False):
 
     # Cross-check only: the axon backend's cost analysis does NOT count
     # convolutions (round-2 bug) — kept visible, never used for MFU.
-    xla_flops = compiled_flops(sample, jax.random.key(3), y)
+    xla_flops = compiled_flops(fn, jax.random.key(3), y)
 
     # Per-eval cost of the same guided score (forward + guidance VJP) when
     # launched stand-alone — the reference's structural pattern (one launch

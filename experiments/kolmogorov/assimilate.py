@@ -302,7 +302,9 @@ if __name__ == '__main__':
                         help='save posterior samples + truth to results/*.npz')
     parser.add_argument('--solver', default='ddim', choices=['ddim', 'dpm2m'],
                         help='predictor: reference-parity ddim or the '
-                             'second-order multistep dpm2m (same cost/step)')
+                             'second-order multistep dpm2m (same cost/step; '
+                             'second order needs --corrections 0 — with '
+                             'Langevin corrections it falls back to ddim)')
     parser.add_argument('--bf16', dest='bf16', action='store_true',
                         default=None,
                         help='force bf16 network compute (default: follow '

@@ -23,7 +23,9 @@ import argparse
 
 import numpy as np
 
-from utils import PATH, make_chain
+from utils import PATH
+
+from sda_tpu.dynamics import vorticity
 
 from sda_tpu.viz import draw, sandwich, save_gif
 
@@ -34,9 +36,8 @@ def sandwich_figures(frames: int = 9) -> None:
 
     from sda_tpu.train import load_h5
 
-    chain = make_chain()
     x = load_h5(PATH / 'data/test.h5')[16, :frames]
-    w = np.asarray(chain.vorticity(x))
+    w = np.asarray(vorticity(x))
 
     side = int(np.sqrt(frames))
     out = PATH / 'results'
@@ -59,7 +60,6 @@ def assimilation_figures(gif_dt: float = 0.2) -> None:
     montages (``figures.ipynb`` cells 8/10 parity) plus an animated GIF of
     the first posterior sample."""
 
-    chain = make_chain()
     out = PATH / 'results'
 
     stored = sorted(out.glob('samples_*.npz'))
@@ -75,13 +75,13 @@ def assimilation_figures(gif_dt: float = 0.2) -> None:
         # Montage stride: at most 8 frames per row.
         stride = max(1, x_star.shape[0] // 8)
 
-        w_star = np.asarray(chain.vorticity(x_star[::stride][:8]))
+        w_star = np.asarray(vorticity(x_star[::stride][:8]))
         draw(w_star, zoom=4).save(out / f'truth_{name}.png')
 
-        w_post = np.asarray(chain.vorticity(xs[0, ::stride][:8]))
+        w_post = np.asarray(vorticity(xs[0, ::stride][:8]))
         draw(w_post, zoom=4).save(out / f'posterior_{name}.png')
 
-        w_traj = np.asarray(chain.vorticity(xs[0]))
+        w_traj = np.asarray(vorticity(xs[0]))
         save_gif(w_traj, out / f'assim_{name}.gif', dt=gif_dt, zoom=2)
 
         print(f'{name}: truth/posterior montages + GIF ({xs.shape[0]} samples, '

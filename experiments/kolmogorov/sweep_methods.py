@@ -27,7 +27,7 @@ from utils import PATH
 from assimilate import assimilate
 
 from sda_tpu.eval import spectrum_distance
-from sda_tpu.train import append_csv, load_h5
+from sda_tpu.train import append_csv, existing_csv_keys, load_h5
 
 SCENARIOS = (
     ('coarse', {}),
@@ -47,20 +47,10 @@ def label_of(scenario: str, kwargs: dict) -> str:
     return scenario
 
 
-def existing(csv: Path):
-    rows = set()
-    if csv.exists():
-        for line in csv.read_text().splitlines():
-            parts = line.split(',')
-            if len(parts) >= 3:
-                rows.add((parts[0], parts[1], parts[2]))
-    return rows
-
-
 def main(run: str, samples: int, steps: int, corrections: int, seed: int,
          only: str = None):
     csv = PATH / 'results/method_sweep.csv'
-    done = existing(csv)
+    done = existing_csv_keys(csv, 3)
 
     x_test = load_h5(PATH / 'data/test.h5')
     test_frames = jnp.asarray(x_test[:, ::8].reshape(-1, 2, 64, 64))

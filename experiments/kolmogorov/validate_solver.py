@@ -110,7 +110,7 @@ def main(size: int = 256, spinup: int = 64, window: int = 64, ensemble: int = 4)
         # to the dealiasing cutoff the spectrum must fall at least that
         # fast. A fixed threshold would be resolution-dependent (the cutoff
         # grows with size); 3 log10(k_cut/4) is ~4.0 orders at 256^2
-        # (k_cut ~ 85) and ~3.1 at 64^2.
+        # (k_cut ~ 85), ~3.1 at 128^2, and ~2.2 at 64^2 (k_cut ~ 21).
         'spectrum_decay_required': float(3.0 * np.log10(k_cut / 4.0)),
         'finite': bool(np.all(np.isfinite(np.asarray(xs)))),
     }

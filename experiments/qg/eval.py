@@ -42,17 +42,7 @@ from assimilate import get_scenario
 
 from sda_tpu.diffusion import GaussianScore, VPSDE, bind_eps
 from sda_tpu.eval import spectrum_distance
-from sda_tpu.train import append_csv, load_h5
-
-
-def existing_rows(csv: Path):
-    rows = set()
-    if csv.exists():
-        for line in csv.read_text().splitlines():
-            parts = line.split(',')
-            if len(parts) >= 4:
-                rows.add((parts[0], parts[1], parts[2], parts[3]))
-    return rows
+from sda_tpu.train import append_csv, existing_csv_keys, load_h5
 
 
 def main(
@@ -68,7 +58,7 @@ def main(
     gen_steps: int = 128,
 ):
     csv = PATH / 'results/eval.csv'
-    done = existing_rows(csv)
+    done = existing_csv_keys(csv, 4)
 
     x_test = load_h5(PATH / 'data/test.h5')  # (N, L, 2, H, W)
     test_frames = jnp.asarray(

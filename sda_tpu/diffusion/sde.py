@@ -177,6 +177,13 @@ class VPSDE:
         formula to the extrapolated estimate
         :math:`\hat\epsilon = (1 + w)\,\epsilon_i - w\,\epsilon_{i-1}` with
         :math:`w = h_i / 2 h_{i-1}` (first step: :math:`w = 0`).
+        The second-order step applies only in the deterministic regime
+        (``corrections == 0``): Langevin corrections inject noise *between*
+        the two history evaluations, so extrapolating across them would
+        amplify corrector noise by :math:`w` rather than gain an order —
+        with ``corrections > 0`` the predictor therefore runs its
+        first-order (DDIM) form and the per-step Langevin re-equilibration
+        provides the accuracy instead.
 
         Unlike the reference's Python loop, the full loop (including the
         guidance VJP when ``eps`` wraps a :class:`GaussianScore`) is one
@@ -229,9 +236,15 @@ class VPSDE:
             e = eps_fn(x, t, c)
 
             # Second-order multistep extrapolation (w = 0 on the first
-            # step because h_prev initializes to +inf).
+            # step because h_prev initializes to +inf). Only without
+            # Langevin corrections: with corrections > 0 every stored
+            # history point predates a stochastic kick, so the finite
+            # difference (e - e_prev) is corrector-noise-dominated and the
+            # extrapolation would *amplify* that noise by w instead of
+            # adding accuracy — the method falls back to first-order steps
+            # (see the docstring).
             h = lam(t - dt) - lam(t)
-            if solver == 'dpm2m':
+            if solver == 'dpm2m' and corrections == 0:
                 w = h / (2 * h_prev)
                 e_hat = (1 + w) * e - w * e_prev
             else:

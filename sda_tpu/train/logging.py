@@ -75,3 +75,22 @@ def append_csv(path: Path, row: str) -> None:
 
     with open(path, mode='a') as f:
         f.write(row.rstrip('\n') + '\n')
+
+
+def existing_csv_keys(path: Path, columns: int) -> set:
+    r"""Key tuples (the first ``columns`` comma-separated fields) of the rows
+    already in an :func:`append_csv` results file.
+
+    The idempotent-resume pattern shared by the eval CLIs: a run is skipped
+    when its key tuple is present, so re-running a crashed sweep resumes
+    where it stopped (supersedes the reference's dawgz ``@ensure``,
+    ``experiments/lorenz/eval.py:99-108``)."""
+
+    path = Path(path)
+    keys = set()
+    if path.exists():
+        for line in path.read_text().splitlines():
+            parts = line.split(',')
+            if len(parts) >= columns:
+                keys.add(tuple(parts[:columns]))
+    return keys

@@ -268,6 +268,14 @@ def test_dpm2m_with_guidance_and_corrections():
     # The posterior must explain the observations near the noise level.
     assert abs(float(np.mean(x[:, ::4])) - 0.5) < 0.15
 
+    # With corrections active the multistep history spans Langevin kicks,
+    # so dpm2m falls back to first-order — bitwise identical to ddim.
+    x_ddim = guided.sample(
+        jax.random.key(5), (128,), steps=64, corrections=1, tau=0.25,
+        solver='ddim',
+    )
+    np.testing.assert_array_equal(x, np.asarray(x_ddim))
+
 
 def test_unknown_solver_raises():
     sde = VPSDE(shape=(2,))

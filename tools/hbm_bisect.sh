@@ -12,7 +12,14 @@ mkdir -p storage/results
 
 probe() {
   echo "--- hbm_probe $* ---" >&2
-  timeout 1200 python3 hbm_probe.py "$@" >> "$OUT" 2>/dev/null \
+  # hbm_probe.py exits nonzero on *handled* failures too (compile_failed /
+  # exec_failed, with their own JSON records), so the crash fallback keys on
+  # "no record appended", not on the exit code — otherwise every handled
+  # failure would also log a phantom process_died line.
+  before=$(wc -l < "$OUT" 2>/dev/null || echo 0)
+  timeout 1200 python3 hbm_probe.py "$@" >> "$OUT" 2>/dev/null || true
+  after=$(wc -l < "$OUT" 2>/dev/null || echo 0)
+  [ "$after" -gt "$before" ] \
     || echo "{\"args\": \"$*\", \"status\": \"process_died\"}" >> "$OUT"
 }
 
