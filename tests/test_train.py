@@ -162,3 +162,24 @@ def test_checkpoint_resume(tmp_path):
     np.testing.assert_allclose(
         stats_resumed['loss_train'], stats_direct['loss_train'], rtol=1e-4
     )
+
+
+def test_existing_csv_keys_resume(tmp_path):
+    r"""The shared CSV-resume helper: key tuples of already-written rows,
+    tolerant of shorter lines and missing files."""
+
+    from sda_tpu.train import append_csv, existing_csv_keys
+
+    csv = tmp_path / 'results.csv'
+    assert existing_csv_keys(csv, 3) == set()
+
+    append_csv(csv, 'coarse,sda,unet_0,0.111,0.1')
+    append_csv(csv, 'generative,qg_0,upper,,0.98')
+    append_csv(csv, 'short,row')  # fewer fields than the key — ignored
+
+    assert existing_csv_keys(csv, 3) == {
+        ('coarse', 'sda', 'unet_0'),
+        ('generative', 'qg_0', 'upper'),
+    }
+    # The empty 4th field of the generative row is part of a 4-column key.
+    assert ('generative', 'qg_0', 'upper', '') in existing_csv_keys(csv, 4)
