@@ -1,4 +1,11 @@
 r"""SPMD helpers: meshes, shardings, collectives."""
 
-from .mesh import batch_constraint, make_mesh, replicate, shard_batch  # noqa: F401
+from .mesh import (  # noqa: F401
+    batch_constraint,
+    host_sharded_array,
+    init_multihost,
+    make_mesh,
+    replicate,
+    shard_batch,
+)
 from .windowed import ShardedMCScoreNet  # noqa: F401

@@ -81,3 +81,59 @@ def batch_constraint(x, mesh: Mesh, axis: str = 'dp'):
     spec = P(axis, *([None] * (x.ndim - 1)))
 
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+
+# -- Multi-host (DCN) scale-out ----------------------------------------------
+
+def init_multihost(
+    coordinator_address: str,
+    num_processes: int,
+    process_id: int,
+) -> None:
+    r"""Initializes the multi-controller runtime for multi-host scale-out.
+
+    The reference scales out with Slurm job arrays (SURVEY.md §5 — one
+    process per independent job, no cross-job communication); here multiple
+    hosts run ONE SPMD program: every process calls this, builds the same
+    global :func:`make_mesh` over ``jax.devices()`` (which then spans all
+    hosts), and jitted programs shard/psum across the data-center network
+    exactly as they do across ICI on one host.
+
+    Arguments:
+        coordinator_address: ``host:port`` of process 0.
+        num_processes: Total number of participating processes.
+        process_id: This process's rank in ``[0, num_processes)``.
+    """
+
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def host_sharded_array(local_part, mesh: Mesh, axis: str = 'dp'):
+    r"""Assembles a global array from per-process shards (leading axis).
+
+    Each host feeds only its own slice (e.g. its shard of a dataset too
+    large for one host); the returned global ``jax.Array`` is sharded over
+    ``axis`` and usable directly as a jit argument. Counterpart of
+    :func:`shard_batch` for the multi-controller case, where
+    ``jax.device_put`` cannot address other hosts' devices.
+
+    Arguments:
+        local_part: This process's slice of the leading axis (same shape on
+            every process).
+        mesh: A global mesh whose ``axis`` spans all processes.
+        axis: The mesh axis to shard the leading array axis over.
+    """
+
+    local_part = np.asarray(local_part)
+    spec = P(axis, *([None] * (local_part.ndim - 1)))
+    global_shape = (
+        local_part.shape[0] * jax.process_count(),
+    ) + local_part.shape[1:]
+
+    return jax.make_array_from_process_local_data(
+        NamedSharding(mesh, spec), local_part, global_shape
+    )
