@@ -22,4 +22,7 @@ def test_two_process_training_parity():
     )
     assert out.returncode == 0, out.stdout[-3000:] + out.stderr[-2000:]
     assert 'MULTIHOST DEMO OK' in out.stdout
-    assert out.stdout.count('PARITY OK') == 2
+    # Each worker asserts dp-training parity AND cross-process sp-sampling
+    # parity (halo exchange over the process boundary).
+    assert out.stdout.count('] PARITY OK') == 2
+    assert out.stdout.count('] SP PARITY OK') == 2

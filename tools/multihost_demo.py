@@ -117,6 +117,45 @@ def worker(pid: int, procs: int, port: int, devices: int) -> None:
     assert err < 1e-3, f'parity {err}'
     print(f'[{pid}] PARITY OK: max |loss diff| = {err:.2e}', flush=True)
 
+    # -- Guided sampling, trajectory axis sharded ACROSS hosts --------------
+    # The sp halo exchange (ppermute in ShardedMCScoreNet) now crosses the
+    # process boundary — on a pod this is the DCN path of
+    # `assimilate.py --mesh sp=N`.
+    import jax.numpy as jnp
+
+    from sda_tpu.diffusion import GaussianScore, MCScoreNet, bind_eps
+    from sda_tpu.parallel import ShardedMCScoreNet
+
+    kernel = bind_eps(module, params)
+    order = window // 2
+    length = 4 * jax.device_count()  # divides over sp
+
+    y = np.asarray(
+        jax.random.normal(jax.random.key(2), (2, size, size))
+    ) * 0.1
+    A = lambda x: x[..., 0, :, :, :] - x[..., -1, :, :, :]  # loop closure
+
+    def guided_sample(score):
+        g_sde = VPSDE(
+            eps=GaussianScore(
+                y=y, A=A, std=0.1, sde=VPSDE(eps=score, shape=()), gamma=1e-2
+            ),
+            shape=(length, 2, size, size),
+        )
+        return g_sde.sample(
+            jax.random.key(3), (2,), steps=4, corrections=1, tau=0.5
+        )
+
+    sp_mesh = make_mesh({'sp': jax.device_count()})
+    x_sharded = guided_sample(ShardedMCScoreNet(kernel, order, mesh=sp_mesh))
+    x_plain = guided_sample(MCScoreNet(kernel, order))
+
+    sp_err = float(jnp.max(jnp.abs(x_sharded - x_plain)))
+    assert np.isfinite(np.asarray(x_plain)).all()
+    assert sp_err < 1e-4, f'sp parity {sp_err}'
+    print(f'[{pid}] SP PARITY OK: max |sample diff| = {sp_err:.2e}',
+          flush=True)
+
 
 def launch(procs: int, devices: int) -> None:
     import socket
