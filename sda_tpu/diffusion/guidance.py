@@ -149,7 +149,7 @@ class DPSGaussianScore:
         mu, sigma = self.sde.mu(t), self.sde.sigma(t)
 
         def sq_err(x_in: Array):
-            e = self.sde.eps(x_in, t)
+            e = self.sde.eps(x_in, t, c)
             x_hat = (x_in - sigma * e) / mu
             err = jnp.sum((self.y - self.A(x_hat)) ** 2)
             return err, e
