@@ -302,25 +302,24 @@ def bench_train_step(smoke: bool = False):
     trainset = TrajectoryDataset(data, window=window, flatten=True)
     validset = TrajectoryDataset(data[:32], window=window, flatten=True)
 
-    # The Trainer donates its parameter buffers to the jitted epoch — keep
-    # an undonated copy for the bf16 variant below.
-    params_copy = jax.tree_util.tree_map(jax.numpy.copy, params)
-
-    trainer = Trainer(
-        VPSDE(shape=(window * 2, 64, 64)),
-        module, params, trainset, validset,
-        epochs=4096, batch_size=batch, learning_rate=2e-4,
-        key=jax.random.key(1),
-    )
-
-    trainer.step_epoch()  # compile + warmup
-
-    t0 = time.perf_counter()
-    trainer.step_epoch()
-    t1 = time.perf_counter()
+    # The Trainer donates its parameter buffers to the jitted epoch — give
+    # each measured variant its own copy.
+    def epoch_wall(mod):
+        trainer = Trainer(
+            VPSDE(shape=(window * 2, 64, 64)),
+            mod, jax.tree_util.tree_map(jax.numpy.copy, params),
+            trainset, validset,
+            epochs=4096, batch_size=batch, learning_rate=2e-4,
+            key=jax.random.key(1),
+        )
+        trainer.step_epoch()  # compile + warmup
+        t0 = time.perf_counter()
+        trainer.step_epoch()
+        t1 = time.perf_counter()
+        return t1 - t0
 
     steps_per_epoch = len(trainset) // batch
-    wall = t1 - t0
+    wall = epoch_wall(module)
 
     result = {
         'train_steps_per_s': round(steps_per_epoch / wall, 2),
@@ -332,19 +331,9 @@ def bench_train_step(smoke: bool = False):
     # ``bf16: true``) — measure that variant too. Guarded like the sampler
     # variant.
     try:
-        trainer16 = Trainer(
-            VPSDE(shape=(window * 2, 64, 64)),
-            module.clone(dtype=jax.numpy.bfloat16), params_copy,
-            trainset, validset,
-            epochs=4096, batch_size=batch, learning_rate=2e-4,
-            key=jax.random.key(1),
-        )
-        trainer16.step_epoch()  # compile + warmup
-        t0 = time.perf_counter()
-        trainer16.step_epoch()
-        t1 = time.perf_counter()
-        result['train_bf16_epoch_wall_s'] = round(t1 - t0, 3)
-        result['train_bf16_steps_per_s'] = round(steps_per_epoch / (t1 - t0), 2)
+        wall16 = epoch_wall(module.clone(dtype=jax.numpy.bfloat16))
+        result['train_bf16_epoch_wall_s'] = round(wall16, 3)
+        result['train_bf16_steps_per_s'] = round(steps_per_epoch / wall16, 2)
     except Exception as err:
         log(f'bf16 train variant unavailable: {err}')
 

@@ -10,6 +10,7 @@ from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .ode import DiscreteODE
 
@@ -24,8 +25,12 @@ class Lorenz63(DiscreteODE):
     """
 
     #: Standardization constants (reference ``sda/mcs.py:160-172``).
-    LOC = jnp.array([0.0, 0.0, 25.0])
-    SCALE = jnp.array([8.0, 9.0, 8.6])
+    #: Host-side numpy on purpose: a class-level jnp.array would initialize
+    #: the XLA backend at import time, which breaks
+    #: :func:`sda_tpu.parallel.init_multihost` (the distributed runtime must
+    #: come up before any backend touch).
+    LOC = np.array([0.0, 0.0, 25.0], dtype=np.float32)
+    SCALE = np.array([8.0, 9.0, 8.6], dtype=np.float32)
 
     def __init__(
         self,

@@ -99,11 +99,26 @@ def init_multihost(
     hosts), and jitted programs shard/psum across the data-center network
     exactly as they do across ICI on one host.
 
+    Call this FIRST — before any computation, ``jax.devices()``, or
+    ``device_put`` (``import sda_tpu`` itself is deliberately backend-free
+    so the documented ``from sda_tpu.parallel import init_multihost`` path
+    works).
+
     Arguments:
         coordinator_address: ``host:port`` of process 0.
         num_processes: Total number of participating processes.
         process_id: This process's rank in ``[0, num_processes)``.
     """
+
+    from jax._src import xla_bridge
+
+    if xla_bridge._backends:
+        raise RuntimeError(
+            'init_multihost must run before anything touches the XLA '
+            'backend (jax.devices(), device_put, any computation — or '
+            'creating a jnp array at import time). Move the '
+            'init_multihost(...) call to the top of the program.'
+        )
 
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

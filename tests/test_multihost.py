@@ -15,10 +15,13 @@ REPO = Path(__file__).resolve().parents[1]
 
 
 def test_two_process_training_parity():
+    # Timeout must exceed the launcher's own per-worker communicate()
+    # timeout (480 s) so launcher-side failure diagnostics and its
+    # worker-cleanup finally-block always run before pytest gives up.
     out = subprocess.run(
         [sys.executable, str(REPO / 'tools/multihost_demo.py'),
          '--launch', '2', '--devices', '2'],
-        capture_output=True, text=True, timeout=540,
+        capture_output=True, text=True, timeout=570,
     )
     assert out.returncode == 0, out.stdout[-3000:] + out.stderr[-2000:]
     assert 'MULTIHOST DEMO OK' in out.stdout

@@ -39,17 +39,13 @@ def worker(pid: int, procs: int, port: int, devices: int) -> None:
 
     jax.config.update('jax_platforms', 'cpu')
 
-    # The distributed runtime must come up before anything touches the XLA
-    # backend (importing sda_tpu initializes it via the compilation cache).
-    jax.distributed.initialize(
-        coordinator_address=f'127.0.0.1:{port}',
-        num_processes=procs,
-        process_id=pid,
-    )
-
     sys.path.insert(0, str(REPO))
 
-    from sda_tpu.parallel import host_sharded_array, make_mesh
+    # The documented entry point: `import sda_tpu` is deliberately
+    # backend-free, so the distributed runtime can come up first.
+    from sda_tpu.parallel import host_sharded_array, init_multihost, make_mesh
+
+    init_multihost(f'127.0.0.1:{port}', num_processes=procs, process_id=pid)
 
     assert jax.process_count() == procs
     assert jax.device_count() == procs * devices
@@ -61,6 +57,10 @@ def worker(pid: int, procs: int, port: int, devices: int) -> None:
 
     # Identical config everywhere; each process keeps only its data shard.
     window, batch, n, length, size = 3, 16, 64, 8, 16
+    assert n % procs == 0, (
+        f'dataset rows ({n}) must divide over {procs} processes — '
+        'host_sharded_array needs equal per-process shards'
+    )
     rng = np.random.RandomState(0)
     data = rng.standard_normal((n, length, 2, size, size)).astype(np.float32)
     shard = data[pid * (n // procs):(pid + 1) * (n // procs)]
@@ -178,17 +178,30 @@ def launch(procs: int, devices: int) -> None:
         for pid in range(procs)
     ]
 
+    import time
+
+    deadline = time.monotonic() + 480  # global budget, not per worker
+
     ok = True
-    for pid, w in enumerate(workers):
-        out, _ = w.communicate(timeout=600)
-        if w.returncode != 0 or 'PARITY OK' not in out:
-            ok = False
-            print(f'--- worker {pid} FAILED (rc={w.returncode}) ---')
-            print(out[-3000:])
-        else:
-            print('\n'.join(
-                l for l in out.splitlines() if l.startswith(f'[{pid}]')
-            ))
+    try:
+        for pid, w in enumerate(workers):
+            out, _ = w.communicate(
+                timeout=max(10.0, deadline - time.monotonic())
+            )
+            if w.returncode != 0 or 'PARITY OK' not in out:
+                ok = False
+                print(f'--- worker {pid} FAILED (rc={w.returncode}) ---')
+                print(out[-3000:])
+            else:
+                print('\n'.join(
+                    l for l in out.splitlines() if l.startswith(f'[{pid}]')
+                ))
+    finally:
+        # A worker that died before the distributed barrier leaves its
+        # peers blocked in collectives — never leak them.
+        for w in workers:
+            if w.poll() is None:
+                w.kill()
 
     if not ok:
         sys.exit(1)

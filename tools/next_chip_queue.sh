@@ -54,8 +54,14 @@ cd /root/repo || exit 1
 timeout 2400 python3 bench.py > /tmp/bench_r3b.json 2>/tmp/bench_r3b.log \
   || echo "bench failed"
 tail -1 /tmp/bench_r3b.json
-grep '"metric"' /tmp/bench_r3b.json | tail -1 > /root/repo/BENCH_local.json \
-  || echo 'BENCH_local refresh skipped'
+# Refresh the committed artifact only when a real JSON line exists — a
+# plain redirect would truncate BENCH_local.json on a failed bench run.
+line=$(grep '"metric"' /tmp/bench_r3b.json | tail -1)
+if [ -n "$line" ]; then
+  printf '%s\n' "$line" > /root/repo/BENCH_local.json
+else
+  echo 'BENCH_local refresh skipped (no bench output)'
+fi
 
 # 3. Lorenz seed cells at the C=16 headline (VERDICT 3 seed spread).
 cd /root/repo/experiments/lorenz || exit 1
