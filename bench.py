@@ -34,7 +34,9 @@ discrepancy stays visible.
 ``value``/``vs_baseline`` (the headline) belong to the flagship sampler.
 ``vs_baseline`` is the measured end-to-end ratio against the UNMODIFIED
 torch reference sampler running this scenario on the only hardware it can
-run on in this environment — this host's CPU, single thread
+run on in this environment — this host's CPU at torch's default thread
+count (a 1-core host, so 1 thread; the baseline configuration is recorded
+in the JSON's ``baseline_hw``/``vs_baseline_desc`` fields)
 (``tools/ref_harness/bench_ref_cpu.py`` measures the reference's per-eval
 wall at the production architecture and a window-count-scaled shape; both
 frameworks batch the window axis, so per-eval cost scales linearly in
@@ -234,12 +236,20 @@ def bench_sampler(smoke: bool = False):
     t3 = time.perf_counter()
     t_eval = (t3 - t2) / reps
 
+    # MFU is only meaningful against the matching-dtype peak; the chip's
+    # published peak is the bf16 number, so MFU is reported for bf16-compute
+    # programs only and f32-compute variants get raw throughput (TFLOP/s)
+    # instead (ADVICE r3: dividing an f32 wall by the bf16 peak understates
+    # nothing but *means* nothing).
     result = {
         'sampler_wall_s': round(wall, 3),
         'sampler_evals_per_s': round(n_evals / wall, 2),
         'sampler_pflop_analytic': round(flops / 1e15, 3),
         'sampler_tflops': round(flops / wall / 1e12, 1),
-        'sampler_mfu_pct': round(100 * flops / wall / chip_peak_flops(), 1),
+        'sampler_mfu_pct': (
+            round(100 * flops / wall / chip_peak_flops(), 1)
+            if primary_bf16 else None
+        ),
         'sampler_tflops_xla_cost': round(xla_flops / wall / 1e12, 2) if xla_flops else None,
         'sampler_unfused_eval_ms': round(1e3 * t_eval, 2),
         'fusion_speedup': round(n_evals * t_eval / wall, 2),
@@ -249,9 +259,10 @@ def bench_sampler(smoke: bool = False):
     if wall_v is not None:
         result[f'sampler_{variant_name}_wall_s'] = round(wall_v, 3)
         result[f'sampler_{variant_name}_tflops'] = round(flops / wall_v / 1e12, 1)
-        result[f'sampler_{variant_name}_mfu_pct'] = round(
-            100 * flops / wall_v / chip_peak_flops(), 1
-        )
+        if variant_name == 'bf16':
+            result['sampler_bf16_mfu_pct'] = round(
+                100 * flops / wall_v / chip_peak_flops(), 1
+            )
         result[f'sampler_residual_{variant_name}'] = round(residual(out_v), 4)
         wall_f32, wall_bf16 = (wall_v, wall) if primary_bf16 else (wall, wall_v)
         result['bf16_speedup'] = round(wall_f32 / wall_bf16, 2)
@@ -268,6 +279,12 @@ def bench_sampler(smoke: bool = False):
         result['ref_cpu_wall_s_extrapolated'] = round(ref_eval * n_evals, 1)
         result['vs_torch_ref_same_host'] = round(ref_eval * n_evals / wall, 1)
         result['framework_speedup_same_host'] = ref['framework_speedup_same_host']
+        # The baseline configuration travels WITH the ratio (ADVICE r3
+        # medium): what hardware and how many threads the reference ran on.
+        result['baseline_hw'] = ref.get(
+            'baseline_hw',
+            f"this host CPU, torch {ref.get('torch_threads', '?')} thread(s)",
+        )
 
     return result
 
@@ -417,6 +434,19 @@ def main():
         # absent. See module docstring for why each ratio is what it is.
         'vs_baseline': sampler.get(
             'vs_torch_ref_same_host', sampler['fusion_speedup']
+        ),
+        'vs_baseline_desc': (
+            'end-to-end wall ratio vs the unmodified torch reference sampler '
+            'on ' + sampler.get(
+                'baseline_hw',
+                'the same chip (fusion speedup: one-launch-per-eval vs '
+                'fused; reference CPU measurement absent)',
+            )
+            + '; per-eval wall measured at the production architecture, '
+            'scaled linearly in windows x batch. The reference has no GPU '
+            'available in this environment — see fusion_speedup and '
+            'sampler_mfu_pct for the hardware-independent structural/'
+            'efficiency numbers.'
         ),
         **sampler,
         **train,

@@ -95,13 +95,18 @@ def make_trajectory_eps(
     function via the Markov-blanket decomposition. ``chunk`` enables the
     memory-optimal sequential window evaluation for long trajectories;
     ``mesh`` (with an ``'sp'`` axis) shards the trajectory axis over devices
-    with halo exchange (sequence/context parallelism)."""
+    with halo exchange (sequence/context parallelism). The two levers
+    compose: with both a mesh and a chunk, each sequence shard evaluates its
+    windows in chunks of ``chunk`` (per-chunk remat included), the
+    configuration for 256^2 long trajectories that exceed one chip's HBM
+    even after sharding."""
 
     if mesh is not None and 'sp' in mesh.axis_names and mesh.shape['sp'] > 1:
         from sda_tpu.parallel import ShardedMCScoreNet
 
         return ShardedMCScoreNet(
-            bind_eps(module, params), order=window // 2, mesh=mesh
+            bind_eps(module, params), order=window // 2, mesh=mesh,
+            chunk=chunk, remat=remat,
         )
 
     return MCScoreNet(

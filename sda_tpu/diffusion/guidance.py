@@ -95,14 +95,44 @@ class GaussianScore:
                 self.sde.eps = MCScoreNet(
                     inner.kernel, inner.order, chunk=inner.chunk, remat=True
                 )
+            else:
+                try:
+                    from ..parallel.windowed import ShardedMCScoreNet
+                except ImportError:  # pragma: no cover
+                    ShardedMCScoreNet = ()
+                if (
+                    isinstance(inner, ShardedMCScoreNet)
+                    and inner.chunk is not None
+                    and not inner.remat
+                ):
+                    # Same footgun, sequence-parallel variant.
+                    self.sde = copy(sde)
+                    self.sde.eps = ShardedMCScoreNet(
+                        inner.kernel, inner.order, mesh=inner.mesh,
+                        axis=inner.axis, chunk=inner.chunk, remat=True,
+                    )
+
+    def _eps_fn(self) -> Callable:
+        r"""The prior eps, checkpointed for the guidance VJP when asked.
+
+        When the inner score already rematerializes per chunk
+        (``MCScoreNet``/``ShardedMCScoreNet`` with ``remat=True``), the
+        per-chunk checkpoints inside its ``lax.map`` already bound activation
+        memory — an *outer* ``jax.checkpoint`` on top would only make the VJP
+        recompute the entire chunked forward once more. Skip it then.
+        """
+
+        eps_fn = self.sde.eps
+        if self.remat and not (getattr(eps_fn, 'remat', False)
+                               and getattr(eps_fn, 'chunk', None) is not None):
+            eps_fn = jax.checkpoint(eps_fn, static_argnums=())
+        return eps_fn
 
     def __call__(self, x: Array, t: Array, c: Optional[Array] = None) -> Array:
         mu, sigma = self.sde.mu(t), self.sde.sigma(t)
         var = self.std**2 + self.gamma * (sigma / mu) ** 2
 
-        eps_fn = self.sde.eps
-        if self.remat:
-            eps_fn = jax.checkpoint(eps_fn, static_argnums=())
+        eps_fn = self._eps_fn()
 
         if self.detach:
             eps0 = eps_fn(x, t, c)

@@ -70,6 +70,56 @@ def fold(x: Array, order: int) -> Array:
     )
 
 
+def chunked_eval(
+    kernel: EpsFn,
+    x: Array,
+    t: Array,
+    c: Optional[Array],
+    chunk: int,
+    remat: bool = False,
+) -> Array:
+    r"""Evaluates ``kernel`` over the window axis in sequential chunks.
+
+    ``x`` is an *unfolded* batch of windows ``(B, n_windows, (2k+1) C,
+    *spatial)``. Windows are padded up to a multiple of ``chunk`` (the pad
+    windows' outputs are discarded), reshaped to ``(num_chunks, B, chunk,
+    ...)`` and scanned with ``lax.map`` — peak activation memory scales with
+    ``chunk`` instead of ``n_windows``. With ``remat=True`` each chunk's
+    kernel evaluation is wrapped in ``jax.checkpoint`` so a VJP through this
+    path (guided sampling) recomputes one chunk at a time instead of
+    stacking every chunk's residuals.
+
+    Shared by :class:`MCScoreNet` and
+    :class:`~sda_tpu.parallel.ShardedMCScoreNet` (the sequence-parallel
+    variant applies it within each sequence shard).
+    """
+
+    batch, n_windows = x.shape[:2]
+    chunk = min(chunk, n_windows)
+    pad = (-n_windows) % chunk
+
+    if pad:
+        x = jnp.concatenate(
+            (x, jnp.repeat(x[:, -1:], pad, axis=1)), axis=1
+        )
+
+    num_chunks = x.shape[1] // chunk
+
+    x = x.reshape((batch, num_chunks, chunk) + x.shape[2:])
+    x = jnp.moveaxis(x, 1, 0)  # (num_chunks, B, chunk, ...)
+
+    fn = lambda xc: kernel(xc, t, c)
+    if remat:
+        fn = jax.checkpoint(fn)
+    s = jax.lax.map(fn, x)
+
+    s = jnp.moveaxis(s, 0, 1).reshape(
+        (batch, num_chunks * chunk) + s.shape[3:]
+    )
+
+    return s[:, :n_windows]
+
+
 class MCScoreNet:
     r"""Composes a window-kernel eps function into a trajectory eps function.
 
@@ -126,37 +176,7 @@ class MCScoreNet:
         return s
 
     def _chunked_kernel(self, x: Array, t: Array, c: Optional[Array]) -> Array:
-        r"""Evaluates the kernel over the window axis in sequential chunks.
-
-        Windows are padded up to a multiple of ``chunk`` (the pad windows'
-        outputs are discarded), reshaped to ``(num_chunks, B, chunk, ...)``
-        and scanned with ``lax.map``.
-        """
-
-        batch, n_windows = x.shape[:2]
-        chunk = min(self.chunk, n_windows)
-        pad = (-n_windows) % chunk
-
-        if pad:
-            x = jnp.concatenate(
-                (x, jnp.repeat(x[:, -1:], pad, axis=1)), axis=1
-            )
-
-        num_chunks = x.shape[1] // chunk
-
-        x = x.reshape((batch, num_chunks, chunk) + x.shape[2:])
-        x = jnp.moveaxis(x, 1, 0)  # (num_chunks, B, chunk, ...)
-
-        fn = lambda xc: self.kernel(xc, t, c)
-        if self.remat:
-            fn = jax.checkpoint(fn)
-        s = jax.lax.map(fn, x)
-
-        s = jnp.moveaxis(s, 0, 1).reshape(
-            (batch, num_chunks * chunk) + s.shape[3:]
-        )
-
-        return s[:, :n_windows]
+        return chunked_eval(self.kernel, x, t, c, self.chunk, self.remat)
 
 
 class MCScoreWrapper:

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..diffusion.windowed import unfold
+from ..diffusion.windowed import chunked_eval, unfold
 
 Array = jax.Array
 
@@ -31,9 +31,21 @@ class ShardedMCScoreNet:
         order: The Markov order ``k``.
         mesh: The device mesh.
         axis: The mesh axis to shard the trajectory over.
+        chunk: Optional window-chunk size *within each sequence shard* —
+            the per-shard analog of ``MCScoreNet(chunk=...)``: each device
+            evaluates its windows in sequential chunks via ``lax.map`` so
+            peak activation memory per device scales with ``chunk``, not
+            with the shard length. This composes the two scale levers
+            (sequence sharding over ICI + chunked evaluation within the
+            shard) for trajectories that exceed one chip's HBM even after
+            sharding (SURVEY.md §7 hard part 4: 256^2 long trajectories).
+        remat: Rematerialize each chunk's kernel evaluation inside the
+            ``lax.map`` (required for the VJP through a chunked path to
+            stay O(chunk) in memory — same semantics as
+            ``MCScoreNet(remat=True)``).
 
     Constraints: the trajectory length ``L`` must divide by the axis size,
-    and each chunk must hold at least ``2k + 1`` frames.
+    and each shard must hold at least ``2k + 1`` frames.
     """
 
     def __init__(
@@ -42,11 +54,15 @@ class ShardedMCScoreNet:
         order: int,
         mesh: Mesh,
         axis: str = 'sp',
+        chunk: Optional[int] = None,
+        remat: bool = False,
     ):
         self.kernel = kernel
         self.order = order
         self.mesh = mesh
         self.axis = axis
+        self.chunk = chunk
+        self.remat = remat
 
     def __call__(self, x: Array, t: Array, c: Optional[Array] = None) -> Array:
         k = self.order
@@ -80,7 +96,11 @@ class ShardedMCScoreNet:
             # chunk windows, window i centered at local frame i. Windows that
             # read wrapped-around halo garbage (only at the global sequence
             # ends) are computed but masked out below.
-            s = kernel(unfold(ext, k), t, c)
+            windows = unfold(ext, k)
+            if self.chunk is None:
+                s = kernel(windows, t, c)
+            else:
+                s = chunked_eval(kernel, windows, t, c, self.chunk, self.remat)
             s = s.reshape(s.shape[:2] + (2 * k + 1, -1) + s.shape[3:])
 
             center = s[:, :, k]  # (B, chunk, C, *spatial)

@@ -208,6 +208,121 @@ def test_sequence_parallel_guided_sampling_end_to_end():
     np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), atol=1e-4)
 
 
+@pytest.mark.parametrize('remat', [False, True])
+def test_sharded_mc_score_chunked_matches_plain(remat):
+    r"""Sequence sharding composed with within-shard chunked evaluation
+    (VERDICT r3 weak #4): values must match the plain MCScoreNet exactly."""
+
+    mesh = make_mesh({'sp': 4})
+    order, channels, length = 2, 2, 64
+
+    def kernel(xw, t, c=None):
+        return jnp.tanh(xw) + 0.1 * jnp.roll(xw, 1, axis=2) * t
+
+    reference = MCScoreNet(kernel, order=order)
+    sharded = ShardedMCScoreNet(
+        kernel, order=order, mesh=mesh, chunk=4, remat=remat
+    )
+
+    x = jax.random.normal(jax.random.key(6), (3, length, channels))
+    t = jnp.asarray(0.4)
+
+    np.testing.assert_allclose(
+        np.asarray(reference(x, t)),
+        np.asarray(sharded(x, t)),
+        atol=1e-6,
+    )
+
+
+def test_sp_chunk_remat_guided_sampling_parity():
+    r"""The real 256^2-long-trajectory configuration (SURVEY.md §7 hard part
+    4): a guided sampler whose score path is sequence-sharded over 4 devices
+    AND chunk-8 evaluated with per-chunk remat, on a 256-frame trajectory —
+    value parity with the plain single-device path (the guidance VJP flows
+    through halo exchange, lax.map and jax.checkpoint)."""
+
+    from sda_tpu.diffusion import GaussianScore
+
+    mesh = make_mesh({'sp': 4})
+    order, channels, length = 2, 2, 256
+
+    def kernel(xw, t, c=None):
+        return jnp.tanh(xw) * (0.5 + t) + 0.05 * jnp.roll(xw, 1, axis=2)
+
+    y = jnp.ones((length // 8, channels)) * 0.3
+    A = lambda x: x[..., ::8, :]
+
+    def build(score):
+        return VPSDE(
+            eps=GaussianScore(
+                y=y, A=A, std=0.1, sde=VPSDE(eps=score, shape=()), gamma=1e-2,
+                remat=True,
+            ),
+            shape=(length, channels),
+        )
+
+    single = build(MCScoreNet(kernel, order=order))
+    sharded = build(
+        ShardedMCScoreNet(kernel, order=order, mesh=mesh, chunk=8, remat=True)
+    )
+
+    x1 = single.sample(jax.random.key(8), (1,), steps=4, corrections=1, tau=0.5)
+    x2 = sharded.sample(jax.random.key(8), (1,), steps=4, corrections=1, tau=0.5)
+
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), atol=1e-4)
+
+
+def test_guidance_remat_guard_rebuilds_sharded_chunked_score():
+    r"""``GaussianScore(remat=True)`` over a chunked ShardedMCScoreNet
+    without per-chunk remat transparently rebuilds it with ``remat=True``
+    (same footgun guard as the MCScoreNet case) and skips the redundant
+    outer checkpoint."""
+
+    from sda_tpu.diffusion import GaussianScore
+
+    mesh = make_mesh({'sp': 4})
+    kernel = lambda xw, t, c=None: jnp.tanh(xw)
+    score = ShardedMCScoreNet(kernel, order=1, mesh=mesh, chunk=4, remat=False)
+
+    g = GaussianScore(
+        y=jnp.zeros((2, 2)), A=lambda x: x[..., ::4, :][:, :2], std=0.1,
+        sde=VPSDE(eps=score, shape=()), remat=True,
+    )
+
+    rebuilt = g.sde.eps
+    assert isinstance(rebuilt, ShardedMCScoreNet)
+    assert rebuilt.remat and rebuilt.chunk == 4
+    # Per-chunk checkpoints already bound memory — no outer wrapper on top.
+    assert g._eps_fn() is rebuilt
+
+
+def test_make_trajectory_eps_composes_levers():
+    r"""The kolmogorov factory forwards chunk/remat into the sequence-
+    sharded score instead of dropping them (VERDICT r3 weak #4)."""
+
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(
+        0, str(Path(__file__).resolve().parents[1] / 'experiments/kolmogorov')
+    )
+    from utils import make_trajectory_eps
+
+    mesh = make_mesh({'sp': 4})
+    kernel = lambda params, xw, t, c=None: xw  # placeholder module surface
+
+    class FakeModule:
+        def apply(self, *a, **k):
+            raise NotImplementedError
+
+    eps = make_trajectory_eps(
+        FakeModule(), {}, window=5, chunk=8, mesh=mesh, remat=True
+    )
+
+    assert isinstance(eps, ShardedMCScoreNet)
+    assert eps.chunk == 8 and eps.remat
+
+
 def test_sharded_sampler():
     r"""The fused sampler runs with its batch sharded over the mesh."""
 

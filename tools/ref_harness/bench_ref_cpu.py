@@ -1,7 +1,8 @@
 #!/usr/bin/env python
 r"""Same-host head-to-head: the UNMODIFIED reference guided sampler (torch,
 ``/root/reference/sda/score.py``) vs our fused JAX sampler, identical
-scenario, identical hardware (this host's CPU, single thread).
+scenario, identical hardware (this host's CPU, torch at its default thread
+count — which on this 1-core host is 1 thread).
 
 Primary purpose: measure the reference's per-eval cost at the production
 architecture so ``bench.py`` can combine it with the TPU wall clock into
@@ -39,10 +40,16 @@ sys.path.insert(0, str(HERE))  # zuko shim
 sys.path.insert(0, '/root/reference')
 sys.path.insert(0, '/root/repo')
 
+import os  # noqa: E402
+
 import numpy as np  # noqa: E402
 import torch  # noqa: E402
 
-torch.set_num_threads(1)
+# Torch keeps its DEFAULT thread count — no artificial pinning. This host
+# exposes a single CPU core (os.cpu_count() == 1 at measurement time), so
+# "default" and "single thread" coincide here; the JSON records both the
+# core count and the thread count so the baseline configuration is part of
+# the artifact rather than a footnote (ADVICE r3 medium).
 
 from sda.score import (  # noqa: E402
     GaussianScore as RefGaussianScore,
@@ -178,6 +185,11 @@ def main():
             'n_windows': n_windows,
             'arch': '(96,192,384)x(3,3,3) @ 64^2',
         },
+        'baseline_hw': (
+            f'this host CPU ({os.cpu_count()} core(s)), torch default '
+            f'{torch.get_num_threads()} thread(s)'
+        ),
+        'host_cpus': os.cpu_count(),
         'torch_threads': torch.get_num_threads(),
         'ref_wall_s': round(ref_wall, 3),
         'ref_per_eval_s': round(ref_wall / n_evals, 4),
