@@ -162,15 +162,20 @@ def assimilate(
     save: bool = False,
     solver: str = 'ddim',
     bf16: bool = None,
+    gamma: float = None,
 ):
     rng = np.random.RandomState(seed)
 
     x_test = load_h5(PATH / 'data/test.h5')
     x_star = x_test[seed % len(x_test)]  # (64, 2, 64, 64)
 
-    A, y, std, length, gamma = get_scenario(
+    A, y, std, length, scenario_gamma = get_scenario(
         scenario, x_star, rng, stride, offset, length_override=length
     )
+    # Variance-inflation override (reference default 1e-2, sda/score.py:373;
+    # per-scenario values from the notebooks) — the sweep knob for the
+    # residual-ratio question (VERDICT r3 weak #2).
+    gamma = scenario_gamma if gamma is None else gamma
 
     if mesh is not None:
         # e.g. --mesh sp=4 or --mesh dp=2,sp=4: sequence-parallel scoring of
@@ -311,6 +316,10 @@ if __name__ == '__main__':
                              'the run config; params/guidance stay f32)')
     parser.add_argument('--f32', dest='bf16', action='store_false',
                         help='force full-f32 network compute')
+    parser.add_argument('--gamma', type=float, default=None,
+                        help='variance-inflation override (default: the '
+                             "scenario's notebook value, e.g. 1e-2 for "
+                             'coarse)')
     args = parser.parse_args()
 
     assimilate(
@@ -320,5 +329,5 @@ if __name__ == '__main__':
         chunk=args.chunk, remat=args.remat, method=args.method,
         stride=args.stride, offset=args.offset, mesh=args.mesh,
         length=args.length, save=args.save, solver=args.solver,
-        bf16=args.bf16,
+        bf16=args.bf16, gamma=args.gamma,
     )
