@@ -45,8 +45,14 @@ def get_scenario(name: str, x_star, rng, stride: int = 8, offset: int = 0,
                  length_override: int = None):
     r"""Returns ``(A, y, std, length, gamma)`` for a named scenario.
 
-    ``x_star`` is a reference trajectory ``(L, 2, 64, 64)`` in model space.
+    ``x_star`` is a reference trajectory ``(L, 2, size, size)`` in model
+    space. The reference only ever models 64^2 fields; here the scenario
+    geometry is *size-relative* (patch extents scale with the grid) so the
+    same catalog drives 128^2-native models — at ``size=64`` every operator
+    reduces exactly to the reference's notebook values (cited per scenario).
     """
+
+    size = x_star.shape[-1]
 
     if name == 'coarse':
         length = min(32, x_star.shape[0])
@@ -74,7 +80,8 @@ def get_scenario(name: str, x_star, rng, stride: int = 8, offset: int = 0,
         # the posterior must extrapolate the unobserved 3/4 of the domain.
         length = 8
         std = 0.01
-        A = lambda x: coarsen(x, 4)[..., ::3, :, 4:12, 4:12]
+        g = size // 4  # coarse grid; central half-extent patch (4:12 at 64^2)
+        A = lambda x: coarsen(x, 4)[..., ::3, :, g // 4: 3 * g // 4, g // 4: 3 * g // 4]
         y = A(x_star[:length]) + std * rng.standard_normal(
             A(x_star[:length]).shape
         ).astype(np.float32)
@@ -83,7 +90,8 @@ def get_scenario(name: str, x_star, rng, stride: int = 8, offset: int = 0,
     if name == 'patch':
         length = 16
         std = 0.05
-        A = lambda x: x[..., ::3, :, 24:40, 24:40]
+        lo, hi = 3 * size // 8, 5 * size // 8  # central quarter (24:40 at 64^2)
+        A = lambda x: x[..., ::3, :, lo:hi, lo:hi]
         y = A(x_star[:length]) + std * rng.standard_normal(
             A(x_star[:length]).shape
         ).astype(np.float32)
@@ -96,10 +104,12 @@ def get_scenario(name: str, x_star, rng, stride: int = 8, offset: int = 0,
         length = 8
         std = 0.05
 
+        g = size // 4  # coarse grid; central 3/4-extent patch (2:14 at 64^2)
+
         def A(x):
             w = vorticity(coarsen(x[..., ::3, :, :, :], 4))
             w = w / (1 + jnp.abs(w))
-            return w[..., 2:14, 2:14]
+            return w[..., g // 8: g - g // 8, g // 8: g - g // 8]
 
         y = np.asarray(A(jnp.asarray(x_star[:length])))
         y = y + std * rng.standard_normal(y.shape).astype(np.float32)
@@ -111,7 +121,7 @@ def get_scenario(name: str, x_star, rng, stride: int = 8, offset: int = 0,
         # draws a circle" conditioning; y is NOT derived from data.
         length = 8
         std = 0.2
-        grid = np.linspace(-1, 1, 64, dtype=np.float32)
+        grid = np.linspace(-1, 1, size, dtype=np.float32)
         dist = grid[:, None] ** 2 + grid[None, :] ** 2
         mask = jnp.asarray((0.4 < dist) & (dist < 0.6), dtype=jnp.float32)
         A = lambda x: vorticity(x[..., -1, :, :, :]) * mask
@@ -126,7 +136,7 @@ def get_scenario(name: str, x_star, rng, stride: int = 8, offset: int = 0,
         length = length_override or 127
         std = 1e-2
         A = lambda x: x[..., 0, :, :, :] - x[..., -1, :, :, :]
-        y = jnp.zeros((2, 64, 64))
+        y = jnp.zeros((2, size, size))
         return A, y, std, length, 1e-1
 
     if name == 'vorticity':
@@ -163,11 +173,13 @@ def assimilate(
     solver: str = 'ddim',
     bf16: bool = None,
     gamma: float = None,
+    data: str = 'data',
 ):
     rng = np.random.RandomState(seed)
 
-    x_test = load_h5(PATH / 'data/test.h5')
-    x_star = x_test[seed % len(x_test)]  # (64, 2, 64, 64)
+    x_test = load_h5(PATH / f'{data}/test.h5')
+    x_star = x_test[seed % len(x_test)]  # (64, 2, size, size)
+    size = x_star.shape[-1]
 
     A, y, std, length, scenario_gamma = get_scenario(
         scenario, x_star, rng, stride, offset, length_override=length
@@ -212,7 +224,7 @@ def assimilate(
     else:
         raise ValueError(f'unknown guidance method {method}')
 
-    sde = VPSDE(eps=guided, shape=(length, 2, 64, 64))
+    sde = VPSDE(eps=guided, shape=(length, 2, size, size))
 
     key = jax.random.key(seed)
     xs = sde.sample(key, (samples,), steps=steps, corrections=corrections,
@@ -255,9 +267,10 @@ def assimilate(
         from sda_tpu.dynamics import upsample
 
         chain = make_chain(256)
-        y0 = upsample(xs[0, 0], 4)
+        factor = 256 // size
+        y0 = upsample(xs[0, 0], factor)
         sim = chain.trajectory(jax.random.key(0), y0, length=length - 1)
-        sim = coarsen(jnp.concatenate([y0[None], sim]), 4)
+        sim = coarsen(jnp.concatenate([y0[None], sim]), factor)
 
         num = float(jnp.sum(sim * xs[0]))
         den = float(jnp.linalg.norm(sim) * jnp.linalg.norm(xs[0]))
@@ -320,6 +333,9 @@ if __name__ == '__main__':
                         help='variance-inflation override (default: the '
                              "scenario's notebook value, e.g. 1e-2 for "
                              'coarse)')
+    parser.add_argument('--data', type=str, default='data',
+                        help="dataset subdir under storage/ ('data128' for "
+                             'the 128^2-native dataset)')
     args = parser.parse_args()
 
     assimilate(
@@ -329,5 +345,5 @@ if __name__ == '__main__':
         chunk=args.chunk, remat=args.remat, method=args.method,
         stride=args.stride, offset=args.offset, mesh=args.mesh,
         length=args.length, save=args.save, solver=args.solver,
-        bf16=args.bf16, gamma=args.gamma,
+        bf16=args.bf16, gamma=args.gamma, data=args.data,
     )

@@ -28,6 +28,7 @@ def main(
     coarse: int = 4,
     chunk: int = 16,
     seed: int = 0,
+    data: str = 'data',
 ):
     chain = make_chain(size=size)
     key = jax.random.key(seed)
@@ -60,9 +61,9 @@ def main(
         'test': out[j:],
     }
 
-    for name, data in splits.items():
-        save_h5(PATH / f'data/{name}.h5', data)
-        print(f'{name}: {data.shape}')
+    for name, split in splits.items():
+        save_h5(PATH / f'{data}/{name}.h5', split)
+        print(f'{name}: {split.shape}')
 
 
 if __name__ == '__main__':
@@ -74,9 +75,12 @@ if __name__ == '__main__':
     parser.add_argument('--coarse', type=int, default=4)
     parser.add_argument('--chunk', type=int, default=16)
     parser.add_argument('--seed', type=int, default=0)
+    parser.add_argument('--data', type=str, default='data',
+                        help="output subdir under storage/ (e.g. 'data128' "
+                             'for --coarse 2, keeping the 64^2 set intact)')
     args = parser.parse_args()
 
     main(
         args.trajectories, args.size, args.length,
-        args.keep, args.coarse, args.chunk, args.seed,
+        args.keep, args.coarse, args.chunk, args.seed, args.data,
     )

@@ -47,14 +47,18 @@ CONFIG = {
 }
 
 
-def train(seed: int, epochs: int = None, use_mesh: bool = False, bf16: bool = False, resume: bool = False):
+def train(seed: int, epochs: int = None, use_mesh: bool = False, bf16: bool = False, resume: bool = False, size: int = 64, data: str = 'data'):
     config = dict(CONFIG)
     if epochs is not None:
         config['epochs'] = epochs
     if bf16:
         config['bf16'] = True
+    config['size'] = size
 
-    runpath = PATH / f'runs/unet_{seed}'
+    # 128^2-native runs (beyond the reference, which only models 64^2
+    # coarsened fields) get their own run-name family.
+    name = f'unet_{seed}' if size == 64 else f'unet{size}_{seed}'
+    runpath = PATH / f'runs/{name}'
     runpath.mkdir(parents=True, exist_ok=True)
     if not (runpath / 'config.json').exists():
         save_config(config, runpath)
@@ -66,10 +70,10 @@ def train(seed: int, epochs: int = None, use_mesh: bool = False, bf16: bool = Fa
     window = config['window']
     module = make_score(**config)
     params = init_score(module, key=k_init)
-    sde = VPSDE(shape=(window * 2, 64, 64))
+    sde = VPSDE(shape=(window * 2, size, size))
 
-    trainset = TrajectoryDataset(PATH / 'data/train.h5', window=window, flatten=True)
-    validset = TrajectoryDataset(PATH / 'data/valid.h5', window=window, flatten=True)
+    trainset = TrajectoryDataset(PATH / f'{data}/train.h5', window=window, flatten=True)
+    validset = TrajectoryDataset(PATH / f'{data}/valid.h5', window=window, flatten=True)
 
     trainer = Trainer(
         sde, module, params, trainset, validset,
@@ -93,9 +97,9 @@ def train(seed: int, epochs: int = None, use_mesh: bool = False, bf16: bool = Fa
     save_params(trainer.params, runpath / 'state.msgpack')
 
     # Final sanity sample (reference train.py:73-77)
-    sample_sde = VPSDE(eps=bind_eps(module, trainer.params), shape=(window * 2, 64, 64))
+    sample_sde = VPSDE(eps=bind_eps(module, trainer.params), shape=(window * 2, size, size))
     x = sample_sde.sample(k_sample, (2,), steps=64)
-    x = x.reshape(2, -1, 2, 64, 64)
+    x = x.reshape(2, -1, 2, size, size)
     w = vorticity(x)
 
     try:
@@ -106,7 +110,7 @@ def train(seed: int, epochs: int = None, use_mesh: bool = False, bf16: bool = Fa
         print(f'sample rendering skipped: {err}')
 
     logger.finish()
-    print(f'unet_{seed}: done')
+    print(f'{name}: done')
 
 
 if __name__ == '__main__':
@@ -116,6 +120,13 @@ if __name__ == '__main__':
     parser.add_argument('--mesh', action='store_true')
     parser.add_argument('--bf16', action='store_true', help='bf16 network compute (params stay f32)')
     parser.add_argument('--resume', action='store_true', help='continue from the latest checkpoint')
+    parser.add_argument('--size', type=int, default=64,
+                        help='field resolution (128 for the 128^2-native model)')
+    parser.add_argument('--data', type=str, default=None,
+                        help="dataset subdir (default: 'data' at 64, "
+                             "'data<size>' otherwise)")
     args = parser.parse_args()
 
-    train(args.seed, args.epochs, args.mesh, args.bf16, args.resume)
+    data = args.data or ('data' if args.size == 64 else f'data{args.size}')
+    train(args.seed, args.epochs, args.mesh, args.bf16, args.resume,
+          size=args.size, data=data)

@@ -9,7 +9,11 @@ delegates exact EMD to POT's C++ network-simplex solver; here:
   solved exactly with scipy's Jonker-Volgenant LAP on host; the pairwise
   distance matrix is computed on device.
 - :func:`sinkhorn` — entropy-regularized OT fully on device (jit/vmap
-  friendly), for large sets where the exact host solve is too slow.
+  friendly), for large or unequal-count sample sets where the exact
+  assignment does not apply. Production call site: the Kolmogorov
+  Wasserstein gate (``experiments/kolmogorov/eval.py:wasserstein_gate``,
+  generated vs test frames with unequal counts, calibrated by the
+  test-vs-test split floor).
 - :func:`mmd` — multi-scale RBF-kernel MMD, direct jnp port.
 """
 

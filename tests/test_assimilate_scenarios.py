@@ -92,6 +92,38 @@ def test_saturation_geometry():
     assert np.all(np.isfinite(np.asarray(g)))
 
 
+def test_size_relative_geometry_128():
+    r"""The scenario catalog is size-relative (round 4): at 128^2 the
+    operators scale with the grid, and at 64^2 they reduce exactly to the
+    reference's notebook values (covered by the other tests here)."""
+
+    rng = np.random.RandomState(0)
+    x_star = rng.standard_normal((16, 2, 128, 128)).astype(np.float32)
+
+    # patch: central quarter -> [48:80] at 128 (24:40 at 64).
+    A, y, std, length, gamma = get_scenario('patch', x_star, rng)
+    assert y.shape == (6, 2, 32, 32)
+    expected = x_star[:length][..., ::3, :, 48:80, 48:80]
+    assert np.allclose(np.asarray(A(jnp.asarray(x_star[:length]))), expected)
+
+    # extrapolate: 4x coarsen -> 32x32 grid, central half patch [8:24].
+    A, y, std, length, gamma = get_scenario('extrapolate', x_star, rng)
+    assert y.shape == (3, 2, 16, 16)
+
+    # saturation: 4x coarsen -> 32x32 grid, central 3/4 patch [4:28].
+    A, y, std, length, gamma = get_scenario('saturation', x_star, rng)
+    assert y.shape == (3, 24, 24)
+
+    # circle mask and loop target follow the grid.
+    A, y, std, length, gamma = get_scenario('circle', x_star, rng)
+    assert y.shape == (128, 128)
+    A, y, std, length, gamma = get_scenario('loop', x_star, rng)
+    assert y.shape == (2, 128, 128)
+
+    g = jax.grad(lambda x: jnp.sum(A(x) ** 2))(jnp.asarray(x_star[:8]))
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
 def test_circle_geometry():
     r"""Reference figures.ipynb cell 4: last frame's vorticity times a ring
     mask, synthetic target 0.6 on the ring."""

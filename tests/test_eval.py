@@ -40,6 +40,45 @@ def test_sinkhorn_approximates_emd():
     assert abs(approx - exact) / exact < 0.1
 
 
+def test_wasserstein_gate_calibration():
+    r"""The Kolmogorov eval's Sinkhorn Wasserstein gate (the production
+    call site of :func:`sinkhorn`): ratio ~= 1 for same-distribution frames
+    with UNEQUAL counts (where the exact LAP path does not apply), clearly
+    > 1 for a shifted distribution."""
+
+    import importlib.util
+    import sys
+    from pathlib import Path
+
+    pack = Path(__file__).resolve().parents[1] / 'experiments/kolmogorov'
+    saved = {n: sys.modules.pop(n, None) for n in ('utils', 'assimilate')}
+    sys.path.insert(0, str(pack))
+    try:
+        spec = importlib.util.spec_from_file_location(
+            'kolmogorov_eval', pack / 'eval.py'
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    finally:
+        sys.path.pop(0)
+        for n, m in saved.items():
+            sys.modules.pop(n, None)
+            if m is not None:
+                sys.modules[n] = m
+
+    key = jax.random.key(8)
+    test_frames = jax.random.normal(key, (96, 2, 8, 8))
+    same = jax.random.normal(jax.random.key(9), (40, 2, 8, 8))
+    shifted = same + 2.0
+
+    _, floor, ratio_same = mod.wasserstein_gate(same, test_frames)
+    _, _, ratio_shift = mod.wasserstein_gate(shifted, test_frames)
+
+    assert floor > 0
+    assert 0.8 < ratio_same < 1.3
+    assert ratio_shift > ratio_same * 1.2
+
+
 def test_mmd_zero_for_same_distribution():
     x = jax.random.normal(jax.random.key(5), (512, 3))
     y = jax.random.normal(jax.random.key(6), (512, 3))
