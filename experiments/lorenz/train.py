@@ -131,6 +131,9 @@ def train(model: str, seed: int, epochs: int = None, use_mesh: bool = False, res
 
         if trainer.epoch % 256 == 0:
             save_checkpoint(trainer, ckpt)
+            # Keep a loadable weights snapshot too, so a timeout-killed run
+            # still yields a usable (if under-trained) model for eval/bench.
+            save_params(trainer.params, runpath / 'state.msgpack')
 
     # Save final weights (reference format analog)
     save_params(trainer.params, runpath / 'state.msgpack')

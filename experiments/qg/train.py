@@ -84,6 +84,8 @@ def train(seed: int, epochs: int = None, use_mesh: bool = False, resume: bool = 
 
         if trainer.epoch % 64 == 0:
             save_checkpoint(trainer, ckpt)
+            # Loadable weights snapshot: a timeout-killed run stays usable.
+            save_params(trainer.params, runpath / 'state.msgpack')
 
     save_params(trainer.params, runpath / 'state.msgpack')
 

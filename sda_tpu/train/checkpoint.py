@@ -30,7 +30,9 @@ def save_params(params: Any, path: Path) -> None:
 
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    path.write_bytes(serialization.to_bytes(params))
+    tmp = path.with_suffix(path.suffix + '.tmp')
+    tmp.write_bytes(serialization.to_bytes(params))
+    tmp.replace(path)  # atomic: concurrent readers never see a partial file
 
 
 def load_params(template: Any, path: Path) -> Any:
@@ -52,7 +54,9 @@ def save_checkpoint(trainer, path: Path) -> None:
 
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    path.write_bytes(serialization.to_bytes(state))
+    tmp = path.with_suffix(path.suffix + '.tmp')
+    tmp.write_bytes(serialization.to_bytes(state))
+    tmp.replace(path)  # atomic: a killed run leaves the previous checkpoint
 
 
 def restore_checkpoint(trainer, path: Path) -> None:
