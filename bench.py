@@ -133,10 +133,15 @@ def bench_sampler(smoke: bool = False):
             for k in ('embedding', 'hidden_channels', 'hidden_blocks', 'kernel_size')
             if k in config
         }
+        weights_provenance = 'trained (unet_0 checkpoint)'
     else:
         params = module.init(
             jax.random.key(0), np.zeros((1, window * 2, 64, 64), np.float32), np.ones(())
         )['params']
+        # ADVICE r4: the provenance caveat must live IN the artifact — with
+        # random init the residual fields are timing-valid but NOT quality
+        # gates, and a consumer of the JSON must be able to see that.
+        weights_provenance = 'random-init (residuals are NOT quality gates)'
 
     # Scenario: 8x coarsen, every 4th frame (figures.ipynb cells 9-10).
     A = lambda x: coarsen(x[..., ::4, :, :, :], 8)
@@ -254,6 +259,7 @@ def bench_sampler(smoke: bool = False):
         'sampler_unfused_eval_ms': round(1e3 * t_eval, 2),
         'fusion_speedup': round(n_evals * t_eval / wall, 2),
         'sampler_compute_dtype': 'bf16' if primary_bf16 else 'f32',
+        'sampler_weights': weights_provenance,
         'sampler_residual': round(residual(out), 4),
     }
     if wall_v is not None:
@@ -420,7 +426,14 @@ def main():
 
     result = {
         'metric': 'kolmogorov_guided_assimilation_wall_s',
+        # ADVICE r4: 'value' is pinned to the FLAGSHIP configuration — the
+        # trained checkpoint's compute dtype (bf16 in production). The
+        # fields below record which program 'value' timed so cross-round
+        # comparisons can detect a configuration (not performance) change.
+        'schema_version': 2,
         'value': sampler['sampler_wall_s'],
+        'value_dtype': sampler['sampler_compute_dtype'],
+        'value_weights': sampler['sampler_weights'],
         'unit': (
             'seconds for 4 posterior samples of a (32,2,64,64) trajectory, '
             '256 steps x 1 correction, coarse 8x/4-frame observations, '

@@ -35,7 +35,7 @@ from assimilate import assimilate, get_scenario
 from sda_tpu.diffusion import GaussianScore, VPSDE, bind_eps
 from sda_tpu.dynamics import coarsen, vorticity
 from sda_tpu.eval import pairwise_distances, sinkhorn, spectrum_distance
-from sda_tpu.train import append_csv, load_h5
+from sda_tpu.train import append_csv, existing_csv_keys, load_h5
 
 
 def wasserstein_gate(frames, test_frames):
@@ -59,7 +59,14 @@ def wasserstein_gate(frames, test_frames):
 
 
 def main(run: str, samples: int = 64, steps: int = 128, seed: int = 0,
-         data: str = 'data'):
+         data: str = 'data', force: bool = False):
+    # Idempotent re-runs (reference @ensure pattern): a run already in the
+    # CSV is skipped so a crashed session's restart cannot double rows.
+    if not force and (run,) in existing_csv_keys(PATH / 'results/eval.csv', 1):
+        print(f'{run}: row already in results/eval.csv, skipping '
+              '(--force to re-evaluate)')
+        return
+
     x_test = load_h5(PATH / f'{data}/test.h5')  # (N, 64, 2, size, size)
     size = x_test.shape[-1]
     test_frames = jnp.asarray(x_test[:, ::8].reshape(-1, 2, size, size))
@@ -124,6 +131,8 @@ if __name__ == '__main__':
     parser.add_argument('--data', type=str, default='data',
                         help="dataset subdir under storage/ ('data128' for "
                              'the 128^2-native dataset)')
+    parser.add_argument('--force', action='store_true',
+                        help='re-evaluate even if the run already has a row')
     args = parser.parse_args()
 
-    main(args.run, args.samples, args.steps, args.seed, args.data)
+    main(args.run, args.samples, args.steps, args.seed, args.data, args.force)
