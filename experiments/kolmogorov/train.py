@@ -47,12 +47,14 @@ CONFIG = {
 }
 
 
-def train(seed: int, epochs: int = None, use_mesh: bool = False, bf16: bool = False, resume: bool = False, size: int = 64, data: str = 'data'):
+def train(seed: int, epochs: int = None, use_mesh: bool = False, bf16: bool = False, resume: bool = False, size: int = 64, data: str = 'data', batch_size: int = None):
     config = dict(CONFIG)
     if epochs is not None:
         config['epochs'] = epochs
     if bf16:
         config['bf16'] = True
+    if batch_size is not None:
+        config['batch_size'] = batch_size
     config['size'] = size
 
     # 128^2-native runs (beyond the reference, which only models 64^2
@@ -127,8 +129,11 @@ if __name__ == '__main__':
     parser.add_argument('--data', type=str, default=None,
                         help="dataset subdir (default: 'data' at 64, "
                              "'data<size>' otherwise)")
+    parser.add_argument('--batch', type=int, default=None,
+                        help='batch size override (HBM lever for 256^2-native '
+                             'training; default: config 32)')
     args = parser.parse_args()
 
     data = args.data or ('data' if args.size == 64 else f'data{args.size}')
     train(args.seed, args.epochs, args.mesh, args.bf16, args.resume,
-          size=args.size, data=data)
+          size=args.size, data=data, batch_size=args.batch)
