@@ -39,12 +39,24 @@ from sda_tpu.diffusion import GaussianScore, VPSDE
 
 
 def build(run: str, samples: int, length: int, chunk, remat: bool,
-          steps: int, corrections: int):
+          steps: int, corrections: int, scenario: str = 'loop',
+          data: str = 'data'):
     rng = np.random.RandomState(0)
-    A, y, std, length, gamma = get_scenario('loop', None, rng,
-                                            length_override=length)
 
     module, params, config = load_score(PATH / f'runs/{run}')
+    size = config.get('size', 64)
+
+    if scenario == 'loop':
+        x_star = None  # loop closure needs no reference trajectory
+        A, y, std, length, gamma = get_scenario('loop', None, rng,
+                                                length_override=length)
+    else:
+        from sda_tpu.train import load_h5
+
+        x_star = load_h5(PATH / f'{data}/test.h5')[0]
+        A, y, std, length, gamma = get_scenario(scenario, x_star, rng,
+                                                length_override=length)
+
     score = make_trajectory_eps(module, params, config.get('window', 5),
                                 chunk=chunk, remat=remat)
 
@@ -52,7 +64,7 @@ def build(run: str, samples: int, length: int, chunk, remat: bool,
         eps=GaussianScore(
             y=y, A=A, std=std, sde=VPSDE(eps=score, shape=()), gamma=gamma,
         ),
-        shape=(length, 2, 64, 64),
+        shape=(length, 2, size, size),
     )
 
     def program(key):
@@ -72,15 +84,22 @@ def main():
     parser.add_argument('--steps', type=int, default=8)
     parser.add_argument('--corrections', type=int, default=1)
     parser.add_argument('--compile-only', action='store_true')
+    parser.add_argument('--scenario', type=str, default='loop',
+                        help="scenario whose guided program to probe "
+                             "('coarse' for the 256^2-native measurement)")
+    parser.add_argument('--data', type=str, default='data',
+                        help="dataset subdir ('data256' for 256^2-native)")
     args = parser.parse_args()
 
     out = {
+        'run': args.run, 'scenario': args.scenario,
         'samples': args.samples, 'length': args.length,
         'chunk': args.chunk, 'remat': args.remat, 'steps': args.steps,
     }
 
     program = build(args.run, args.samples, args.length, args.chunk,
-                    args.remat, args.steps, args.corrections)
+                    args.remat, args.steps, args.corrections,
+                    scenario=args.scenario, data=args.data)
     key = jax.random.key(0)
 
     if args.compile_only:
