@@ -174,6 +174,7 @@ def assimilate(
     bf16: bool = None,
     gamma: float = None,
     data: str = 'data',
+    segments: int = 1,
 ):
     rng = np.random.RandomState(seed)
 
@@ -227,8 +228,29 @@ def assimilate(
     sde = VPSDE(eps=guided, shape=(length, 2, size, size))
 
     key = jax.random.key(seed)
-    xs = sde.sample(key, (samples,), steps=steps, corrections=corrections,
-                    tau=tau, solver=solver)
+    if segments > 1:
+        # Segmented sampling: the same reverse-diffusion grid, executed as
+        # `segments` consecutive XLA programs (bitwise-identical to one full
+        # run — the per-step PRNG folds in the global step index). This is
+        # the wall-clock lever for the axon worker, which kills single
+        # programs that run too long (CLAUDE.md); the 256^2-native runs
+        # need it.
+        import time as _time
+
+        bounds = np.linspace(0, steps, segments + 1).astype(int)
+        xs = None
+        for i0, i1 in zip(bounds[:-1], bounds[1:]):
+            t0 = _time.perf_counter()
+            xs = sde.sample(
+                key, (samples,), steps=steps, corrections=corrections,
+                tau=tau, solver=solver, init=xs, segment=(int(i0), int(i1)),
+            )
+            xs = jax.block_until_ready(xs)
+            print(f'segment {i0}:{i1} done in '
+                  f'{_time.perf_counter() - t0:.1f}s', flush=True)
+    else:
+        xs = sde.sample(key, (samples,), steps=steps, corrections=corrections,
+                        tau=tau, solver=solver)
 
     # Posterior-consistency check (reference figures.ipynb cells 11/18/25).
     residual = float(jnp.std(A(xs) - y))
@@ -336,6 +358,11 @@ if __name__ == '__main__':
     parser.add_argument('--data', type=str, default='data',
                         help="dataset subdir under storage/ ('data128' for "
                              'the 128^2-native dataset)')
+    parser.add_argument('--segments', type=int, default=1,
+                        help='execute the reverse-diffusion grid as N '
+                             'consecutive XLA programs (bitwise-identical '
+                             'result; keeps per-program wall under the axon '
+                             "worker's kill ceiling for 256^2-native runs)")
     args = parser.parse_args()
 
     assimilate(
@@ -346,4 +373,5 @@ if __name__ == '__main__':
         stride=args.stride, offset=args.offset, mesh=args.mesh,
         length=args.length, save=args.save, solver=args.solver,
         bf16=args.bf16, gamma=args.gamma, data=args.data,
+        segments=args.segments,
     )

@@ -153,6 +153,8 @@ class VPSDE:
         tau: float = 1.0,
         eps: Optional[EpsFn] = None,
         solver: str = 'ddim',
+        init: Optional[Array] = None,
+        segment: Optional[Tuple[int, int]] = None,
     ) -> Array:
         r"""Samples from :math:`p(x(0))` with a predictor–corrector loop.
 
@@ -199,6 +201,20 @@ class VPSDE:
             eps: Optional override of the bound noise estimator.
             solver: ``'ddim'`` (first order, reference parity) or
                 ``'dpm2m'`` (second-order multistep, same cost per step).
+            init: Optional initial state of batch shape ``shape + self.shape``
+                (required when ``segment`` starts past 0; defaults to
+                :math:`x(1) \sim N(0, 1)`).
+            segment: Optional ``(i0, i1)`` slice of the global ``steps``-point
+                time grid to integrate — the basis of *segmented sampling*:
+                running ``sample(..., segment=(i0, i1), init=x)`` for
+                consecutive slices is numerically identical to one full run
+                with the same ``key`` (the per-step PRNG is derived by
+                folding the step index into ``key``, so it does not depend on
+                the segmentation). Each segment is a separately executed XLA
+                program — the lever for runtimes that bound per-program wall
+                clock. With ``solver='dpm2m'`` the multistep history restarts
+                at each segment boundary (that step falls back to first
+                order).
         """
 
         if solver not in ('ddim', 'dpm2m'):
@@ -209,29 +225,44 @@ class VPSDE:
 
         key_init, key_scan = jax.random.split(key)
 
-        x = jax.random.normal(key_init, shape + self.shape)
+        if init is None:
+            x = jax.random.normal(key_init, shape + self.shape)
+        else:
+            x = jnp.asarray(init)
         x = x.reshape((-1,) + self.shape)
 
         dt = 1.0 / steps
         time = jnp.linspace(1.0, 0.0, steps + 1)[:-1]
+        index = jnp.arange(steps)
+        if segment is not None:
+            i0, i1 = segment
+            if i0 > 0 and init is None:
+                raise ValueError(
+                    f'segment {segment} starts mid-grid: pass the previous '
+                    "segment's output as init"
+                )
+            time = time[i0:i1]
+            index = index[i0:i1]
 
         def lam(t):
             return jnp.log(self.mu(t) / self.sigma(t))
 
-        def corrector(_, carry):
-            x, key, t = carry
-            key, kz = jax.random.split(key)
+        def corrector(j, carry):
+            x, kstep, t = carry
 
-            z = jax.random.normal(kz, x.shape, dtype=x.dtype)
+            z = jax.random.normal(
+                jax.random.fold_in(kstep, j), x.shape, dtype=x.dtype
+            )
             e = eps_fn(x, t - dt, c)
             delta = tau / jnp.mean(e**2, axis=self.dims, keepdims=True)
 
             x = x - (delta * e + jnp.sqrt(2 * delta) * z) * self.sigma(t - dt)
 
-            return (x, key, t)
+            return (x, kstep, t)
 
-        def step(carry, t):
-            x, key, e_prev, h_prev = carry
+        def step(carry, ti):
+            x, e_prev, h_prev = carry
+            t, i = ti
 
             e = eps_fn(x, t, c)
 
@@ -254,16 +285,18 @@ class VPSDE:
             r = self.mu(t - dt) / self.mu(t)
             x = r * x + (self.sigma(t - dt) - r * self.sigma(t)) * e_hat
 
-            # Corrector
+            # Corrector (keyed by the global step index, so the noise stream
+            # is independent of any segmentation of the time grid).
             if corrections > 0:
-                x, key, _ = jax.lax.fori_loop(
-                    0, corrections, corrector, (x, key, t)
+                kstep = jax.random.fold_in(key_scan, i)
+                x, _, _ = jax.lax.fori_loop(
+                    0, corrections, corrector, (x, kstep, t)
                 )
 
-            return (x, key, e, h), None
+            return (x, e, h), None
 
-        carry = (x, key_scan, jnp.zeros_like(x), jnp.asarray(jnp.inf, dtype=time.dtype))
-        (x, _, _, _), _ = jax.lax.scan(step, carry, time)
+        carry = (x, jnp.zeros_like(x), jnp.asarray(jnp.inf, dtype=time.dtype))
+        (x, _, _), _ = jax.lax.scan(step, carry, (time, index))
 
         return x.reshape(shape + self.shape)
 

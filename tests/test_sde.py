@@ -282,3 +282,51 @@ def test_unknown_solver_raises():
     with pytest.raises(ValueError, match='solver'):
         sde.sample(jax.random.key(0), (1,), steps=4,
                    eps=lambda x, t, c=None: x, solver='heun')
+
+
+# -- Segmented sampling (per-program wall-clock lever) ------------------------
+
+
+def test_segmented_sampling_is_bitwise_identical():
+    r"""Running the time grid as consecutive ``segment`` slices must
+    reproduce the one-shot run bitwise: the per-step PRNG folds in the
+    global step index, so the noise stream is segmentation-independent."""
+
+    sde = VPSDE(shape=(8,))
+
+    def eps_star(x, t, c=None):
+        mu, sigma = sde.mu(t), sde.sigma(t)
+        return sigma * x / (mu**2 + sigma**2)
+
+    key = jax.random.key(7)
+    full = sde.sample(key, (16,), steps=24, corrections=2, tau=0.25,
+                      eps=eps_star)
+
+    x = None
+    for i0, i1 in [(0, 8), (8, 9), (9, 24)]:
+        x = sde.sample(key, (16,), steps=24, corrections=2, tau=0.25,
+                       eps=eps_star, init=x, segment=(i0, i1))
+
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(x))
+
+
+def test_segmented_sampling_no_corrections():
+    sde = VPSDE(shape=(4,))
+    eps = lambda x, t, c=None: x * sde.sigma(t)
+
+    key = jax.random.key(3)
+    full = sde.sample(key, (8,), steps=16, eps=eps)
+
+    x = None
+    for i0, i1 in [(0, 4), (4, 16)]:
+        x = sde.sample(key, (8,), steps=16, eps=eps, init=x,
+                       segment=(i0, i1))
+
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(x))
+
+
+def test_segment_midgrid_requires_init():
+    sde = VPSDE(shape=(2,))
+    with pytest.raises(ValueError, match='init'):
+        sde.sample(jax.random.key(0), (1,), steps=8,
+                   eps=lambda x, t, c=None: x, segment=(4, 8))

@@ -46,14 +46,43 @@ from sda_tpu.nn.flops import guided_sampler_flops, score_unet_flops  # noqa: E40
 from sda_tpu.utils import enable_compilation_cache  # noqa: E402
 
 
-def timeit(fn, *args, reps: int = 8):
-    r"""Steady-state wall of a jitted fn (compile + warmup excluded)."""
+def _drain(out):
+    r"""Force execution of every dispatched program and fetch one scalar.
 
-    out = jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = jax.block_until_ready(fn(*args))
-    return (time.perf_counter() - t0) / reps, out
+    On the axon runtime ``jax.block_until_ready`` can return before the
+    program has actually executed on the worker (round-5 finding: sub-ms
+    "walls" for 448-window U-Net batches). Fetching a scalar reduction to
+    the host is the only reliable barrier: programs execute in dispatch
+    order on the single chip, so the fetch drains the whole queue.
+    """
+
+    return float(np.asarray(jnp.sum(out)))
+
+
+def timeit(fn, *args, reps: int = 8, retries: int = 3):
+    r"""Steady-state wall of a jitted fn (compile + warmup excluded).
+
+    Retries on transient tunnel errors (remote_compile body closed etc. —
+    the round-5 rc=1 failure mode), and measures throughput by dispatching
+    ``reps`` calls then draining, which is robust to async dispatch.
+    """
+
+    last = None
+    for attempt in range(retries):
+        try:
+            out = fn(*args)
+            _drain(out)  # compile + warmup + queue drain
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                out = fn(*args)
+            _drain(out)
+            return (time.perf_counter() - t0) / reps, out
+        except Exception as e:  # noqa: BLE001 — tunnel errors are ad hoc
+            last = e
+            print(f'timeit retry {attempt + 1}: {e}', file=sys.stderr,
+                  flush=True)
+            time.sleep(10)
+    raise last
 
 
 def chip_peak_flops() -> float:
