@@ -65,11 +65,38 @@ def main(freq: str = 'lo'):
         for c in cs:
             vals = w1.get((run, str(c)), [])
             cells.append(f'{statistics.median(vals):.1f}' if vals else '—')
-        cmax = max(c for r, c in w1 if r == run)
+        cmax = max((c for r, c in w1 if r == run), key=int)
         lp = statistics.median(prior[(run, cmax)])
         print(f'| {run} ({len(indices[run])}) | ' + ' | '.join(cells)
-              + f' | {lp:.1f} |')
+              + f' | {lp:.1f} (C={cmax}) |')
+
+
+def seeds(freq: str = 'lo', c: str = '8'):
+    """Median-W1 seed spread at a fixed correction count: mean +/- stdev of
+    the per-seed medians over families with >=2 trained seeds (the README's
+    '+/-' numbers, reference trains 3 seeds — experiments/lorenz/train.py:47).
+    """
+    rows = load(freq)
+    w1 = defaultdict(lambda: defaultdict(list))  # family -> seed -> [w1]
+    for idx, run, cc, lp, _, w in rows:
+        if run == 'ground-truth' or cc != c:
+            continue
+        family, _, seed = run.rpartition('_')
+        w1[family][seed].append(float(w))
+    print(f'# seed spread, {freq}, C={c} (per-seed median W1 over indices)')
+    for family in sorted(w1):
+        meds = {s: statistics.median(v) for s, v in sorted(w1[family].items())}
+        line = f'{family}: ' + ', '.join(
+            f'seed {s}: {m:.2f} (n={len(w1[family][s])})' for s, m in meds.items())
+        if len(meds) >= 2:
+            vals = list(meds.values())
+            line += (f'  ->  {statistics.mean(vals):.2f} '
+                     f'+/- {statistics.stdev(vals):.2f}')
+        print(line)
 
 
 if __name__ == '__main__':
-    main(*sys.argv[1:])
+    if len(sys.argv) > 1 and sys.argv[1] == 'seeds':
+        seeds(*sys.argv[2:])
+    else:
+        main(*sys.argv[1:])
