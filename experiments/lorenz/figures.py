@@ -28,11 +28,12 @@ def load_stats(freq: str):
         if len(parts) != 6:
             continue
         # Re-runs of a grid cell append a second sample of the same
-        # (index, run, corrections) key; keep the first so every index
-        # carries equal weight in the medians.
+        # (index, run, corrections) key; keep the last so a re-run after
+        # retraining supersedes the stale row (same rule as
+        # tools/summarize_lorenz.py).
         key = (parts[0], parts[1], parts[2])
         if key in seen:
-            continue
+            rows = [r for r in rows if (str(r['index']), r['run'], '' if r['corrections'] is None else str(r['corrections'])) != key]
         seen.add(key)
         rows.append({
             'index': int(parts[0]),
