@@ -29,12 +29,27 @@ def main(
     chunk: int = 16,
     seed: int = 0,
     data: str = 'data',
+    only: str = None,
 ):
     chain = make_chain(size=size)
     key = jax.random.key(seed)
 
+    i = int(0.8 * trajectories)
+    j = int(0.9 * trajectories)
+    bounds = {'train': (0, i), 'valid': (i, j), 'test': (j, trajectories)}
+
+    if only is None:
+        wanted = list(bounds)
+    else:
+        wanted = only.split(',')
+    lo = min(bounds[name][0] for name in wanted)
+    # Simulate only the chunks that overlap [lo, trajectories); earlier
+    # chunks just advance the PRNG key, so the produced split is
+    # byte-identical to the same split of a full run (same seed).
+    first = (lo // chunk) * chunk
+
     out = np.empty(
-        (trajectories, keep, 2, size // coarse, size // coarse),
+        (trajectories - first, keep, 2, size // coarse, size // coarse),
         dtype=np.float32,
     )
 
@@ -48,20 +63,15 @@ def main(
 
     for start in range(0, trajectories, chunk):
         key, sub = jax.random.split(key)
+        if start < first:
+            continue
         xs = np.asarray(simulate(sub))  # (keep, chunk, 2, h, w)
-        out[start : start + chunk] = xs.transpose(1, 0, 2, 3, 4)
+        out[start - first : start - first + chunk] = xs.transpose(1, 0, 2, 3, 4)
         print(f'{start + chunk}/{trajectories}', flush=True)
 
-    i = int(0.8 * trajectories)
-    j = int(0.9 * trajectories)
-
-    splits = {
-        'train': out[:i],
-        'valid': out[i:j],
-        'test': out[j:],
-    }
-
-    for name, split in splits.items():
+    for name in wanted:
+        a, b = bounds[name]
+        split = out[a - first : b - first]
         save_h5(PATH / f'{data}/{name}.h5', split)
         print(f'{name}: {split.shape}')
 
@@ -78,9 +88,14 @@ if __name__ == '__main__':
     parser.add_argument('--data', type=str, default='data',
                         help="output subdir under storage/ (e.g. 'data128' "
                              'for --coarse 2, keeping the 64^2 set intact)')
+    parser.add_argument('--only', type=str, default=None,
+                        help="comma-separated splits to produce (e.g. "
+                             "'test'); earlier trajectories only advance "
+                             'the PRNG, so the split matches a full run')
     args = parser.parse_args()
 
     main(
         args.trajectories, args.size, args.length,
         args.keep, args.coarse, args.chunk, args.seed, args.data,
+        only=args.only,
     )
